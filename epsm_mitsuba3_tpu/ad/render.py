@@ -1,0 +1,79 @@
+"""Differentiable ``render`` entry point (util.py:352-517 ``_RenderOp``).
+
+``render(scene, ...)`` produces the (H, W, C) image.  It is a
+``jax.custom_vjp`` over the scene's differentiable leaves: the forward pass
+runs the detached primal integrator; the backward pass dispatches to the
+integrator's ``render_backward`` (PRB path replay, or the EPSM manifold
+constraint solve) with the incoming image gradient — exactly the structure
+of the reference's ``dr.CustomOp``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..integrators import common, path as path_mod
+from ..models import films, samplers as smp
+
+
+def _integrator_cfg(scene, integrator: Optional[dict]):
+    cfg = dict(scene.static.integrator) if scene.static.integrator else {}
+    if integrator:
+        cfg.update(integrator)
+    cfg.setdefault("type", "path")
+    cfg.setdefault("max_depth", 6)
+    cfg.setdefault("rr_depth", 5)
+    return cfg
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth"))
+def _render_primal(scene, seed: int, sensor_idx: int, spp: int,
+                   max_depth: int, rr_depth: int):
+    sensor = scene.sensors[sensor_idx]
+    n = sensor.width * sensor.height * spp
+    sampler = smp.seed(seed, n)
+    sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+    L, valid = path_mod.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+    value = L * weight
+    if sensor.rfilter == "box":
+        img = films.accumulate_coalesced(value, sensor.width, sensor.height, spp)
+    else:
+        data, w = films.splat(pos, value, sensor.width, sensor.height,
+                              sensor.rfilter)
+        img = films.develop(data, w)
+    return img
+
+
+def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
+           integrator: Optional[dict] = None) -> jnp.ndarray:
+    """mi.render analog.  ``params`` (SceneParameters) takes precedence for
+    the scene state, matching mi.render(scene, params, ...)."""
+    if params is not None and hasattr(params, "scene"):
+        scene = params.scene
+    cfg = _integrator_cfg(scene, integrator)
+    kind = cfg["type"]
+    if spp == 0:
+        spp = scene.static.spp
+    if kind in ("path", "prb", "prb_basic", "prb_reparam", "direct"):
+        max_depth = 2 if kind == "direct" else int(cfg.get("max_depth", 6))
+        from . import prb
+        return prb.render_prb(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=max_depth, rr_depth=int(cfg.get("rr_depth", 5)),
+        )
+    if kind in ("manifold", "manifold_caustic"):
+        from ..integrators import epsm
+        return epsm.render_epsm(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)),
+            caustic=(kind == "manifold_caustic"),
+        )
+    if kind == "depth":
+        from ..integrators import aov
+        return aov.render_depth(scene, seed=seed, sensor_idx=sensor, spp=spp)
+    raise ValueError(f"unknown integrator '{kind}'")

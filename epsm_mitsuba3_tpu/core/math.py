@@ -1,0 +1,219 @@
+"""Vector math, orthonormal frames and spherical utilities.
+
+TPU-native analog of ``include/mitsuba/core/{vector,frame,math}.h``.
+Vectors are plain ``(..., 3)`` jnp arrays (SoA-friendly); a frame is the
+``(s, t, n)`` triple produced by :func:`coordinate_system`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)
+
+
+def squared_norm(a: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    return jnp.sum(a * a, axis=-1, keepdims=keepdims)
+
+
+def norm(a: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    return jnp.sqrt(squared_norm(a, keepdims))
+
+
+def normalize(a: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    n2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    return a * jax_rsqrt(jnp.maximum(n2, eps if eps > 0 else 1e-37))
+
+
+def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 / jnp.sqrt(x)
+
+
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
+    return jax_rsqrt(jnp.maximum(x, 1e-37))
+
+
+def safe_acos(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def fma(a, b, c):
+    return a * b + c
+
+
+def rcp(x: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 / x
+
+
+def safe_rcp(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Reciprocal that returns 0 where ``x == 0`` (matches dr.select(neq(x,0),rcp(x),0))."""
+    return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+
+
+def lerp(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+def mulsign(x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """x * sign(s) with sign(0) == +1 (drjit ``mulsign`` semantics)."""
+    return jnp.where(s >= 0.0, x, -x)
+
+
+# ---------------------------------------------------------------------------
+# Orthonormal frames
+# ---------------------------------------------------------------------------
+
+def coordinate_system(n: jnp.ndarray):
+    """Build an orthonormal basis (s, t) around unit normal ``n``.
+
+    Branchless method of Duff et al. 2017, matching
+    ``include/mitsuba/core/vector.h`` ``coordinate_system`` so that shading
+    frames agree with the reference.
+    """
+    sign_ = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign_ + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    s = jnp.stack(
+        [
+            mulsign(n[..., 0] * n[..., 0] * a, n[..., 2]) + 1.0,
+            mulsign(b, n[..., 2]),
+            mulsign(-n[..., 0], n[..., 2]),
+        ],
+        axis=-1,
+    )
+    t = jnp.stack(
+        [b, n[..., 1] * n[..., 1] * a + sign_, -n[..., 1]],
+        axis=-1,
+    )
+    return s, t
+
+
+def to_local(n: jnp.ndarray, s: jnp.ndarray, t: jnp.ndarray, v: jnp.ndarray):
+    """World → local (frame) coordinates: returns (v·s, v·t, v·n)."""
+    return jnp.stack([dot(v, s), dot(v, t), dot(v, n)], axis=-1)
+
+
+def to_world(n: jnp.ndarray, s: jnp.ndarray, t: jnp.ndarray, v: jnp.ndarray):
+    """Local (frame) → world coordinates."""
+    return (
+        s * v[..., 0:1] + t * v[..., 1:2] + n * v[..., 2:3]
+    )
+
+
+# Frame3f trig helpers (include/mitsuba/core/frame.h) — v in local coords.
+def frame_cos_theta(v):
+    return v[..., 2]
+
+
+def frame_cos_theta_2(v):
+    return v[..., 2] * v[..., 2]
+
+
+def frame_sin_theta_2(v):
+    return jnp.maximum(1.0 - v[..., 2] * v[..., 2], 0.0)
+
+
+def frame_sin_theta(v):
+    return safe_sqrt(frame_sin_theta_2(v))
+
+
+def frame_tan_theta(v):
+    return frame_sin_theta(v) / v[..., 2]
+
+
+def frame_tan_theta_2(v):
+    return frame_sin_theta_2(v) / jnp.maximum(v[..., 2] * v[..., 2], 1e-37)
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+def reflect(wi: jnp.ndarray) -> jnp.ndarray:
+    """Local-frame mirror reflection about n=(0,0,1): (-x,-y,z)."""
+    return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+
+
+def reflect_m(wi: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Reflect ``wi`` about (micro)normal ``m``: 2<wi,m>m - wi."""
+    return 2.0 * dot(wi, m, keepdims=True) * m - wi
+
+
+def refract(wi: jnp.ndarray, m: jnp.ndarray, cos_theta_t: jnp.ndarray,
+            eta_ti: jnp.ndarray) -> jnp.ndarray:
+    """Refract ``wi`` about ``m`` (mitsuba ``refract``, fresnel.h).
+
+    ``cos_theta_t``: cosine on the transmitted side (signed),
+    ``eta_ti``: relative IOR (transmitted / incident)^-1 actually 1/eta.
+    """
+    return m * (dot(wi, m, keepdims=True) * eta_ti + cos_theta_t[..., None]) - wi * eta_ti
+
+
+def fresnel(cos_theta_i: jnp.ndarray, eta: jnp.ndarray):
+    """Dielectric Fresnel (include/mitsuba/render/fresnel.h ``fresnel``).
+
+    Returns (F, cos_theta_t, eta_it, eta_ti).
+    """
+    outside_mask = cos_theta_i >= 0.0
+    rcp_eta = 1.0 / eta
+    eta_it = jnp.where(outside_mask, eta, rcp_eta)
+    eta_ti = jnp.where(outside_mask, rcp_eta, eta)
+
+    cos_theta_t_sqr = -(-cos_theta_i * cos_theta_i + 1.0) * (eta_ti * eta_ti) + 1.0
+    cos_theta_i_abs = jnp.abs(cos_theta_i)
+    cos_theta_t_abs = safe_sqrt(cos_theta_t_sqr)
+
+    index_matched = eta == 1.0
+    special_case = index_matched | (cos_theta_i_abs == 0.0)
+
+    r_sc = jnp.where(index_matched, 0.0, 1.0)
+
+    a_s = (-eta_it * cos_theta_t_abs + cos_theta_i_abs) / (
+        eta_it * cos_theta_t_abs + cos_theta_i_abs + 1e-37
+    )
+    a_p = (-eta_it * cos_theta_i_abs + cos_theta_t_abs) / (
+        eta_it * cos_theta_i_abs + cos_theta_t_abs + 1e-37
+    )
+
+    r = 0.5 * (a_s * a_s + a_p * a_p)
+    r = jnp.where(special_case, r_sc, r)
+    # Total internal reflection
+    r = jnp.where(cos_theta_t_sqr <= 0.0, 1.0, r)
+
+    cos_theta_t = mulsign(cos_theta_t_abs, -cos_theta_i)
+    return r, cos_theta_t, eta_it, eta_ti
+
+
+def fresnel_conductor(cos_theta_i: jnp.ndarray, eta: jnp.ndarray,
+                      k: jnp.ndarray) -> jnp.ndarray:
+    """Conductor Fresnel term (fresnel.h ``fresnel_conductor``), unpolarized."""
+    cos_theta_i_2 = cos_theta_i * cos_theta_i
+    sin_theta_i_2 = 1.0 - cos_theta_i_2
+    sin_theta_i_4 = sin_theta_i_2 * sin_theta_i_2
+
+    eta_r = eta
+    eta_i = k
+
+    temp_1 = eta_r * eta_r - eta_i * eta_i - sin_theta_i_2
+    a_2_pb_2 = safe_sqrt(temp_1 * temp_1 + 4.0 * eta_i * eta_i * eta_r * eta_r)
+    a = safe_sqrt(0.5 * (a_2_pb_2 + temp_1))
+
+    term_1 = a_2_pb_2 + cos_theta_i_2
+    term_2 = 2.0 * cos_theta_i * a
+
+    r_s = (term_1 - term_2) / (term_1 + term_2 + 1e-37)
+
+    term_3 = a_2_pb_2 * cos_theta_i_2 + sin_theta_i_4
+    term_4 = term_2 * sin_theta_i_2
+
+    r_p = r_s * (term_3 - term_4) / (term_3 + term_4 + 1e-37)
+    return 0.5 * (r_s + r_p)

@@ -1,0 +1,46 @@
+"""Shared integrator machinery (ADIntegrator analog, ad/integrators/common.py).
+
+``sample_rays`` generates the wavefront of camera rays in the canonical
+pixel-major order (lane = pixel * spp + s, common.py:326-371); ``mis_weight``
+is the power heuristic (common.py:1224-1231).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models import samplers as smp
+from ..models import sensors as sns
+
+
+def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
+    """Power heuristic beta=2 (common.py ``mis_weight``), detached."""
+    import jax
+    a2 = pdf_a * pdf_a
+    w = a2 / (pdf_b * pdf_b + a2)
+    return jax.lax.stop_gradient(jnp.where(pdf_a > 0.0, jnp.nan_to_num(w), 0.0))
+
+
+def sample_rays(sensor: sns.Sensor, sampler: smp.Sampler, spp: int):
+    """Wavefront of primary rays (common.py:291-422, box/gaussian position).
+
+    Returns (sampler, ray, weight, pos (N,2) film coords in pixels).
+    """
+    w, h = sensor.width, sensor.height
+    n = w * h * spp
+    idx = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)
+    pos_y = (idx // jnp.uint32(w)).astype(jnp.float32)
+    pos_x = (idx % jnp.uint32(w)).astype(jnp.float32)
+
+    sampler, jitter = smp.next_2d(sampler)
+    pos_f = jnp.stack([pos_x, pos_y], -1) + jitter
+    scale = jnp.array([1.0 / w, 1.0 / h], jnp.float32)
+    pos01 = pos_f * scale
+
+    aperture = None
+    if sensor.kind == "thinlens":
+        sampler, aperture = smp.next_2d(sampler)
+
+    ray, weight = sns.sample_ray_differential(sensor, pos01, aperture)
+    # box filter splats at the integer pixel position (common.py:418-420)
+    splat_pos = jnp.stack([pos_x, pos_y], -1) if sensor.rfilter == "box" else pos_f
+    return sampler, ray, weight, splat_pos

@@ -1,0 +1,210 @@
+"""Path tracer with NEE + MIS (the reference's PRB loop, prb.py:60-253 /
+epsm.py:308-501, re-expressed as one jitted ``lax.scan`` "megakernel").
+
+Dr.Jit records the ``mi.Loop`` symbolically and fuses it into one CUDA
+kernel; the TPU analog is a ``lax.scan`` over the (static) maximum depth
+with masked lanes — XLA fuses each bounce into a handful of kernels and
+the whole loop compiles once.  Divergence is handled by masking (all lanes
+execute every bounce; Russian roulette masks lanes off).
+
+Gradient strategy (mirrors ``_RenderOp``/PRB, util.py:352-517):
+ * the primal loop is fully detached;
+ * ``render`` is a ``jax.custom_vjp`` whose backward replays the loop with
+   an identical sampler stream and, at every bounce, evaluates the local
+   differentiable contribution  Lo = Le + Lr_dir + L_ind * replace_grad(1,
+   inv_det * bsdf_val)  (epsm.py:688-715) and accumulates its vjp w.r.t.
+   the scene's differentiable leaves with cotangent δL.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..models import bsdf as B
+from ..models import emitters as E
+from ..models import samplers as smp
+from ..models.records import Ray, RayFlags
+from ..ops import intersect as I
+from .common import mis_weight
+
+
+class LoopState(NamedTuple):
+    sampler: Any
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    depth: jnp.ndarray
+    L: jnp.ndarray
+    beta: jnp.ndarray
+    eta: jnp.ndarray
+    active: jnp.ndarray
+    prev_p: jnp.ndarray
+    prev_bsdf_pdf: jnp.ndarray
+    prev_bsdf_delta: jnp.ndarray
+
+
+def _emitter_hit_le(scene, si, ray_d, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
+                    active):
+    """Direct emission at the current vertex with MIS vs NEE
+    (epsm.py:566-577)."""
+    ek = scene.static.emitter_kinds
+    # pdf of having NEE-sampled this emitter hit from the previous vertex
+    ds_pdf = E.pdf_direction(
+        scene.emitters, ek, prev_p, ray_d, si.emitter_index, si.p, si.n,
+        scene.vertices, scene.faces, scene.em_faces,
+        active & ~prev_bsdf_delta,
+    )
+    mis = mis_weight(prev_bsdf_pdf, ds_pdf)
+    le_surf = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    le_surf = jnp.where((active & si.valid)[..., None], le_surf, 0.0)
+    # escaped rays: environment emitters
+    env_pdf = E.pdf_direction(
+        scene.emitters, ek, prev_p, ray_d,
+        jnp.zeros_like(si.emitter_index), si.p, si.n,
+        scene.vertices, scene.faces, scene.em_faces,
+        active & ~prev_bsdf_delta,
+    ) if (E.KIND_CONSTANT in ek or E.KIND_ENVMAP in ek) else None
+    le_env = E.eval_env(scene.emitters, ek, ray_d, active & ~si.valid)
+    if env_pdf is not None:
+        mis_env = mis_weight(prev_bsdf_pdf, jnp.where(~si.valid, env_pdf, 0.0))
+        le = mis[..., None] * le_surf + mis_env[..., None] * le_env
+    else:
+        le = mis[..., None] * le_surf + le_env
+    return le
+
+
+def _nee(scene, si, sampler, active_em):
+    """Emitter sampling incl. visibility (epsm.py:585-605)."""
+    sampler, s2 = smp.next_2d(sampler)
+    ds, em_weight = E.sample_direction(
+        scene.emitters, scene.static.emitter_kinds, si.p, s2,
+        scene.vertices, scene.faces, scene.em_faces,
+    )
+    active_em = active_em & (ds.pdf != 0.0)
+    # visibility
+    shadow_ray = si.spawn_ray(ds.d)
+    shadow_ray = shadow_ray.replace(maxt=ds.dist * (1.0 - 1e-3))
+    occluded = scene.ray_test(shadow_ray)
+    em_weight = jnp.where((active_em & ~occluded)[..., None], em_weight, 0.0)
+
+    wo = si.to_local(ds.d)
+    bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
+        scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo,
+        active_em,
+    )
+    mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
+    lr_dir = mis_em[..., None] * bsdf_val_em * em_weight
+    return sampler, ds, lr_dir, active_em
+
+
+def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
+           attached: bool = False):
+    """One path-tracing bounce. Returns (new_state, per-bounce record dict).
+
+    With ``attached=False`` everything is detached (primal).  The record
+    dict carries what PRB/EPSM backward passes need.
+    """
+    ray = Ray.make(st.ray_o, st.ray_d)
+    pi = scene.ray_intersect_preliminary(ray)
+    pi = pi.replace(valid=pi.valid & st.active)
+    si = I.compute_surface_interaction(scene, ray, pi, RayFlags.All)
+
+    le = _emitter_hit_le(
+        scene, si, st.ray_d, st.prev_p, st.prev_bsdf_pdf,
+        st.prev_bsdf_delta, st.active,
+    )
+    le = st.beta * le
+
+    bsdf_flags = B.flags_of(scene.bsdfs, si.bsdf_index)
+    active_next = (st.depth + 1 < max_depth) & si.valid & st.active
+    active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
+
+    sampler, ds, lr_dir, active_em = _nee(scene, si, st.sampler, active_em)
+    lr_dir = st.beta * lr_dir
+
+    sampler, s1 = smp.next_1d(sampler)
+    sampler, s2 = smp.next_2d(sampler)
+    bs, bsdf_weight, ok = B.sample(
+        scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, s1, s2,
+        active_next,
+    )
+
+    L = st.L + jnp.where(st.active[..., None], le + lr_dir, 0.0)
+    wo_world = si.to_world(bs.wo)
+    new_ray = si.spawn_ray(wo_world)
+    eta = st.eta * jnp.where(ok, bs.eta, 1.0)
+    beta = st.beta * jnp.where(ok[..., None], bsdf_weight, 0.0)
+
+    beta_max = jnp.max(beta, axis=-1)
+    active_next = active_next & (beta_max != 0.0)
+    rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+    rr_active = st.depth >= rr_depth
+    beta = jnp.where(
+        rr_active[..., None], beta / jnp.maximum(rr_prob, 1e-8)[..., None], beta
+    )
+    sampler, rr_u = smp.next_1d(sampler)
+    rr_continue = rr_u < rr_prob
+    active_next = active_next & (~rr_active | rr_continue)
+
+    depth = st.depth + si.valid.astype(st.depth.dtype)
+
+    new_state = LoopState(
+        sampler=sampler,
+        ray_o=new_ray.o,
+        ray_d=new_ray.d,
+        depth=depth,
+        L=L,
+        beta=beta,
+        eta=eta,
+        active=active_next,
+        prev_p=jax.lax.stop_gradient(si.p),
+        prev_bsdf_pdf=bs.pdf,
+        prev_bsdf_delta=B.has_flag(bs.sampled_type, B.BSDFFlags.Delta),
+    )
+    record = {
+        "si": si,
+        "ds": ds,
+        "bs": bs,
+        "le": le,
+        "lr_dir": lr_dir,
+        "active": st.active,
+        "active_em": active_em,
+        "bsdf_flags": bsdf_flags,
+        "beta": st.beta,
+        "bsdf_weight": bsdf_weight,
+        "wo_world": wo_world,
+    }
+    return new_state, record
+
+
+def init_state(sampler, ray: Ray, n: int, dtype=jnp.float32) -> LoopState:
+    return LoopState(
+        sampler=sampler,
+        ray_o=ray.o,
+        ray_d=ray.d,
+        depth=jnp.zeros((n,), jnp.int32),
+        L=jnp.zeros((n, 3), dtype),
+        beta=jnp.ones((n, 3), dtype),
+        eta=jnp.ones((n,), dtype),
+        active=jnp.ones((n,), jnp.bool_),
+        prev_p=ray.o,
+        prev_bsdf_pdf=jnp.ones((n,), dtype),
+        prev_bsdf_delta=jnp.ones((n,), jnp.bool_),
+    )
+
+
+def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
+    """Primal radiance estimate: (L (N,3), valid (N,)). Fully detached."""
+    n = ray.o.shape[0]
+    st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    scene_d = jax.lax.stop_gradient(scene)
+
+    def body(st, _):
+        st2, _rec = bounce(scene_d, st, 0, max_depth, rr_depth)
+        return st2, None
+
+    st, _ = jax.lax.scan(body, st, None, length=max_depth)
+    return st.L, st.depth > 0

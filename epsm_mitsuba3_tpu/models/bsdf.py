@@ -1,0 +1,595 @@
+"""BSDF models (TPU analog of include/mitsuba/render/bsdf.h + src/bsdfs/*).
+
+Design (SURVEY.md §7): instead of Dr.Jit's recorded virtual calls over plugin
+classes, all BSDFs in a scene live in one SoA parameter table; evaluation
+computes every *kind present in the scene* (a static set) for all lanes and
+selects per-lane by kind id.  With the handful of kinds a scene uses and
+cheap per-kind math this is faster on TPU than any gather/scatter-based
+material sorting, and it is trivially differentiable.
+
+Conventions (bsdf.h): directions are in the local shading frame with the
+normal = +Z; ``wi`` points away from the surface; ``sample`` returns
+``weight = f * cos_theta_o / pdf``; ``eval`` returns ``f * cos_theta_o``.
+The EPSM half-vector (bsdf.h:197, set by roughconductor.cpp:255) is recorded
+on every microfacet sample.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp
+from .records import BSDFSample
+
+
+# --- BSDFFlags bit layout (bsdf.h:18-80), kept identical for API parity ----
+class BSDFFlags:
+    Empty = 0x00000
+    Null = 0x00001
+    DiffuseReflection = 0x00002
+    DiffuseTransmission = 0x00004
+    GlossyReflection = 0x00008
+    GlossyTransmission = 0x00010
+    DeltaReflection = 0x00020
+    DeltaTransmission = 0x00040
+    Anisotropic = 0x01000
+    SpatiallyVarying = 0x02000
+    NonSymmetric = 0x04000
+    FrontSide = 0x08000
+    BackSide = 0x10000
+    Reflection = DiffuseReflection | GlossyReflection | DeltaReflection
+    Transmission = DiffuseTransmission | GlossyTransmission | DeltaTransmission | Null
+    Diffuse = DiffuseReflection | DiffuseTransmission
+    Glossy = GlossyReflection | GlossyTransmission
+    Smooth = Diffuse | Glossy
+    Delta = DeltaReflection | DeltaTransmission | Null
+    All = Reflection | Transmission
+
+
+def has_flag(flags: jnp.ndarray, flag: int) -> jnp.ndarray:
+    return (flags.astype(jnp.uint32) & jnp.uint32(flag)) != 0
+
+
+# --- BSDF kind ids (order = registry names below) --------------------------
+KIND_DIFFUSE = 0
+KIND_CONDUCTOR = 1
+KIND_ROUGHCONDUCTOR = 2
+KIND_DIELECTRIC = 3
+KIND_THINDIELECTRIC = 4
+KIND_ROUGHDIELECTRIC = 5
+KIND_PLASTIC = 6
+KIND_ROUGHPLASTIC = 7
+KIND_NULL = 8
+
+KIND_NAMES = {
+    "diffuse": KIND_DIFFUSE,
+    "conductor": KIND_CONDUCTOR,
+    "roughconductor": KIND_ROUGHCONDUCTOR,
+    "dielectric": KIND_DIELECTRIC,
+    "thindielectric": KIND_THINDIELECTRIC,
+    "roughdielectric": KIND_ROUGHDIELECTRIC,
+    "plastic": KIND_PLASTIC,
+    "roughplastic": KIND_ROUGHPLASTIC,
+    "null": KIND_NULL,
+}
+
+# Scalar flags for each kind (as declared by the plugin ctors in src/bsdfs/)
+KIND_FLAGS = {
+    KIND_DIFFUSE: BSDFFlags.DiffuseReflection | BSDFFlags.FrontSide,
+    KIND_CONDUCTOR: BSDFFlags.DeltaReflection | BSDFFlags.FrontSide,
+    KIND_ROUGHCONDUCTOR: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
+    KIND_DIELECTRIC: BSDFFlags.DeltaReflection | BSDFFlags.DeltaTransmission
+    | BSDFFlags.FrontSide | BSDFFlags.BackSide | BSDFFlags.NonSymmetric,
+    KIND_THINDIELECTRIC: BSDFFlags.DeltaReflection | BSDFFlags.Null
+    | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+    KIND_ROUGHDIELECTRIC: BSDFFlags.GlossyReflection | BSDFFlags.GlossyTransmission
+    | BSDFFlags.FrontSide | BSDFFlags.BackSide | BSDFFlags.NonSymmetric,
+    KIND_PLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.DeltaReflection
+    | BSDFFlags.FrontSide,
+    KIND_ROUGHPLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
+    | BSDFFlags.FrontSide,
+    KIND_NULL: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+}
+
+
+def empty_table(n: int) -> Dict[str, jnp.ndarray]:
+    """Unified SoA BSDF parameter table with defaults for ``n`` slots."""
+    f = jnp.float32
+    return {
+        "kind": jnp.zeros((n,), jnp.int32),
+        "flags": jnp.zeros((n,), jnp.uint32),
+        "twosided": jnp.zeros((n,), jnp.bool_),
+        "reflectance": jnp.full((n, 3), 0.5, f),          # diffuse albedo
+        "reflectance_tex": jnp.full((n,), -1, jnp.int32),  # texture id or -1
+        "specular_reflectance": jnp.ones((n, 3), f),
+        "specular_transmittance": jnp.ones((n, 3), f),
+        "diffuse_reflectance": jnp.full((n, 3), 0.5, f),   # plastic
+        "alpha": jnp.full((n,), 0.1, f),                   # roughness
+        "eta_c": jnp.zeros((n, 3), f),                     # conductor eta
+        "k_c": jnp.ones((n, 3), f),                        # conductor k
+        "eta": jnp.full((n,), 1.5046, f),                  # dielectric rel IOR
+    }
+
+
+def gather_params(table: Dict[str, jnp.ndarray], idx: jnp.ndarray):
+    """Per-lane parameter gather; idx (N,) -> each field (N, ...)."""
+    safe = jnp.maximum(idx, 0)
+    return {k: v[safe] for k, v in table.items()}
+
+
+# ---------------------------------------------------------------------------
+# Per-kind implementations.  p = per-lane params dict; wi/wo local frame.
+# Each returns (value = f*cos, pdf) for eval_pdf, and a BSDFSample + weight
+# for sample.  Masking by cos_theta etc. is internal; caller masks `active`.
+# ---------------------------------------------------------------------------
+
+def _zero_sample(wi):
+    n = wi.shape[:-1]
+    z3 = jnp.zeros(wi.shape, wi.dtype)
+    return BSDFSample(
+        wo=z3,
+        pdf=jnp.zeros(n, wi.dtype),
+        eta=jnp.ones(n, wi.dtype),
+        sampled_type=jnp.zeros(n, jnp.uint32),
+        hf=z3,
+    )
+
+
+def _diffuse_sample(p, wi, s1, s2):
+    cos_i = wi[..., 2]
+    wo = warp.square_to_cosine_hemisphere(s2)
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.DiffuseReflection, jnp.uint32),
+        hf=jnp.zeros_like(wo),
+    )
+    weight = p["reflectance"]
+    ok = (cos_i > 0.0) & (pdf > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _diffuse_eval_pdf(p, wi, wo):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    value = p["reflectance"] * (jnp.pi ** -1) * cos_o[..., None]
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _conductor_sample(p, wi, s1, s2):
+    cos_i = wi[..., 2]
+    wo = m.reflect(wi)
+    pdf = jnp.ones_like(cos_i)
+    f = m.fresnel_conductor(cos_i[..., None], p["eta_c"], p["k_c"])
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.DeltaReflection, jnp.uint32),
+        hf=jnp.concatenate([jnp.zeros_like(wo[..., :2]), jnp.ones_like(wo[..., 2:3])], -1),
+    )
+    weight = p["specular_reflectance"] * f
+    ok = cos_i > 0.0
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _conductor_eval_pdf(p, wi, wo):
+    z = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    return z, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+def _roughconductor_sample(p, wi, s1, s2):
+    """GGX visible-normal sampling (roughconductor.cpp:231-270, incl. bs.hf=m)."""
+    cos_i = wi[..., 2]
+    alpha = p["alpha"]
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    wo = m.reflect_m(wi, mvec)
+    pdf_m = warp.ggx_pdf_visible(wi, mvec, alpha, alpha)
+    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    f = m.fresnel_conductor(m.dot(wi, mvec)[..., None], p["eta_c"], p["k_c"])
+    # weight for visible-normal sampling: F * G2/G1 -> here smith_g1(wo, m)
+    g1_o = warp.ggx_smith_g1(wo, mvec, alpha, alpha)
+    weight = p["specular_reflectance"] * f * g1_o[..., None]
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.GlossyReflection, jnp.uint32),
+        hf=mvec,
+    )
+    ok = (cos_i > 0.0) & (wo[..., 2] > 0.0) & (pdf > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _roughconductor_eval_pdf(p, wi, wo):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    alpha = p["alpha"]
+    h = m.normalize(wi + wo)
+    d = warp.ggx_ndf(h, alpha, alpha)
+    g = warp.ggx_smith_g1(wi, h, alpha, alpha) * warp.ggx_smith_g1(wo, h, alpha, alpha)
+    f = m.fresnel_conductor(m.dot(wi, h)[..., None], p["eta_c"], p["k_c"])
+    value = p["specular_reflectance"] * f * (d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+    pdf_m = warp.ggx_pdf_visible(wi, h, alpha, alpha)
+    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+    return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _dielectric_sample(p, wi, s1, s2):
+    """Smooth dielectric (dielectric.cpp): choose reflect/refract by Fresnel."""
+    cos_i = wi[..., 2]
+    F, cos_t, eta_it, eta_ti = m.fresnel(cos_i, p["eta"])
+    sel_r = s1 <= F
+    wo_r = m.reflect(wi)
+    normal = jnp.concatenate(
+        [jnp.zeros_like(wi[..., :2]), jnp.ones_like(wi[..., 2:3])], -1
+    )
+    wo_t = m.refract(wi, normal, cos_t, eta_ti)
+    wo = jnp.where(sel_r[..., None], wo_r, wo_t)
+    pdf = jnp.where(sel_r, F, 1.0 - F)
+    eta = jnp.where(sel_r, 1.0, eta_it)
+    # radiance transport: transmission scales by 1/eta^2 (dielectric.cpp:391)
+    w_r = p["specular_reflectance"]
+    w_t = p["specular_transmittance"] * (eta_ti ** 2)[..., None]
+    weight = jnp.where(sel_r[..., None], w_r, w_t)
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=eta,
+        sampled_type=jnp.where(
+            sel_r,
+            jnp.uint32(BSDFFlags.DeltaReflection),
+            jnp.uint32(BSDFFlags.DeltaTransmission),
+        ),
+        hf=normal,
+    )
+    ok = cos_i != 0.0
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _dielectric_eval_pdf(p, wi, wo):
+    z = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    return z, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+def _thindielectric_sample(p, wi, s1, s2):
+    cos_i = wi[..., 2]
+    F, _, _, _ = m.fresnel(jnp.abs(cos_i), p["eta"])
+    # Account for internal reflections: F' = 2F / (1 + F)
+    F = jnp.where(F < 1.0, 2.0 * F / (1.0 + F), 1.0)
+    sel_r = s1 <= F
+    wo = jnp.where(sel_r[..., None], m.reflect(wi), -wi)
+    pdf = jnp.where(sel_r, F, 1.0 - F)
+    weight = jnp.where(
+        sel_r[..., None], p["specular_reflectance"], p["specular_transmittance"]
+    )
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.where(
+            sel_r, jnp.uint32(BSDFFlags.DeltaReflection), jnp.uint32(BSDFFlags.Null)
+        ),
+        hf=jnp.concatenate([jnp.zeros_like(wi[..., :2]), jnp.ones_like(wi[..., 2:3])], -1),
+    )
+    ok = cos_i != 0.0
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _thindielectric_eval_pdf(p, wi, wo):
+    z = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    return z, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+def _roughdielectric_sample(p, wi, s1, s2):
+    """Rough dielectric (roughdielectric.cpp), GGX visible-normal sampling."""
+    cos_i = wi[..., 2]
+    alpha = p["alpha"]
+    # sample micro normal in the hemisphere of wi
+    wi_flip = jnp.where(cos_i[..., None] >= 0.0, wi, -wi)
+    mvec = warp.ggx_visible_normal_sample(wi_flip, s2, alpha, alpha)
+    mvec = jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec)
+    pdf_m = warp.ggx_pdf_visible(wi_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec), alpha, alpha)
+
+    F, cos_t, eta_it, eta_ti = m.fresnel(m.dot(wi, mvec), p["eta"])
+    sel_r = s1 <= F
+    wo_r = m.reflect_m(wi, mvec)
+    wo_t = m.refract(wi, mvec, cos_t, eta_ti)
+    wo = jnp.where(sel_r[..., None], wo_r, wo_t)
+    eta = jnp.where(sel_r, 1.0, eta_it)
+
+    dwh_dwo_r = 1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    sqrt_denom = m.dot(wi, mvec) + eta_it * m.dot(wo, mvec)
+    dwh_dwo_t = (eta_it ** 2) * jnp.abs(m.dot(wo, mvec)) / jnp.maximum(sqrt_denom ** 2, 1e-20)
+    pdf = pdf_m * jnp.where(sel_r, F, 1.0 - F) * jnp.where(sel_r, dwh_dwo_r, dwh_dwo_t)
+
+    wo_flip = jnp.where(sel_r[..., None], jnp.where(cos_i[..., None] >= 0, wo, -wo),
+                        jnp.where(cos_i[..., None] >= 0, -wo, wo))
+    g1_o = warp.ggx_smith_g1(wo_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec), alpha, alpha)
+    w_r = p["specular_reflectance"]
+    w_t = p["specular_transmittance"] * (eta_ti ** 2)[..., None]
+    weight = jnp.where(sel_r[..., None], w_r, w_t) * g1_o[..., None]
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=eta,
+        sampled_type=jnp.where(
+            sel_r,
+            jnp.uint32(BSDFFlags.GlossyReflection),
+            jnp.uint32(BSDFFlags.GlossyTransmission),
+        ),
+        hf=mvec,
+    )
+    reflect_side = cos_i * wo[..., 2] > 0.0
+    ok = (cos_i != 0.0) & (pdf > 0.0) & (sel_r == reflect_side)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _roughdielectric_eval_pdf(p, wi, wo):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    alpha = p["alpha"]
+    reflect = cos_i * cos_o > 0.0
+    eta_v = jnp.where(cos_i > 0.0, p["eta"], 1.0 / p["eta"])
+    # half vector (generalized)
+    h = m.normalize(wi + wo * jnp.where(reflect, 1.0, eta_v)[..., None])
+    h = h * jnp.sign(h[..., 2:3])  # orient to upper hemisphere
+    d = warp.ggx_ndf(h, alpha, alpha)
+    wi_flip = jnp.where(cos_i[..., None] >= 0.0, wi, -wi)
+    wo_flip = jnp.where(cos_o[..., None] >= 0.0, wo, -wo)
+    h_i = jnp.where(cos_i[..., None] >= 0.0, h, -h)
+    g = warp.ggx_smith_g1(wi_flip, h_i, alpha, alpha) * warp.ggx_smith_g1(
+        wo_flip, jnp.where(cos_o[..., None] >= 0.0, h, -h), alpha, alpha
+    )
+    F, _, eta_it, eta_ti = m.fresnel(m.dot(wi, h), p["eta"])
+
+    # reflection value
+    val_r = F * d * g / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
+    # transmission value (radiance transport, roughdielectric.cpp eval)
+    sqrt_denom = m.dot(wi, h) + eta_it * m.dot(wo, h)
+    val_t = (
+        (1.0 - F) * d * g
+        * jnp.abs(
+            m.dot(wi, h) * m.dot(wo, h)
+            / jnp.maximum(cos_i * sqrt_denom ** 2, 1e-20)
+        )
+        * (eta_ti ** 2)
+    )
+    value3 = jnp.where(
+        reflect[..., None],
+        (p["specular_reflectance"] * val_r[..., None]),
+        (p["specular_transmittance"] * jnp.abs(val_t)[..., None]),
+    )
+    pdf_m = warp.ggx_pdf_visible(wi_flip, h_i, alpha, alpha)
+    dwh_dwo = jnp.where(
+        reflect,
+        1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20),
+        (eta_it ** 2) * jnp.abs(m.dot(wo, h)) / jnp.maximum(sqrt_denom ** 2, 1e-20),
+    )
+    prob = jnp.where(reflect, F, 1.0 - F)
+    pdf = pdf_m * prob * dwh_dwo
+    ok = (cos_i != 0.0) & (d > 0.0)
+    return jnp.where(ok[..., None], value3, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _plastic_sample(p, wi, s1, s2):
+    """Smooth plastic (plastic.cpp): specular delta lobe + diffuse substrate."""
+    cos_i = wi[..., 2]
+    F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
+    prob_spec = F_i  # simplified lobe choice (plastic.cpp uses weighted probs)
+    sel_s = s1 < prob_spec
+    wo_s = m.reflect(wi)
+    wo_d = warp.square_to_cosine_hemisphere(s2)
+    wo = jnp.where(sel_s[..., None], wo_s, wo_d)
+    pdf_d = warp.square_to_cosine_hemisphere_pdf(wo_d) * (1.0 - prob_spec)
+    pdf = jnp.where(sel_s, prob_spec, pdf_d)
+    # internal scattering approximation: single Fresnel transmission in/out
+    F_o, _, _, eta_ti = m.fresnel(wo[..., 2], p["eta"])
+    diff = p["diffuse_reflectance"] * (1.0 - F_i[..., None]) * (1.0 - F_o[..., None])
+    w_spec = p["specular_reflectance"]
+    weight = jnp.where(sel_s[..., None], w_spec, diff / jnp.maximum(1.0 - prob_spec, 1e-6)[..., None])
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.where(
+            sel_s, jnp.uint32(BSDFFlags.DeltaReflection),
+            jnp.uint32(BSDFFlags.DiffuseReflection)
+        ),
+        hf=jnp.concatenate([jnp.zeros_like(wi[..., :2]), jnp.ones_like(wi[..., 2:3])], -1),
+    )
+    ok = (cos_i > 0.0) & (wo[..., 2] > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _plastic_eval_pdf(p, wi, wo):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
+    F_o, _, _, _ = m.fresnel(cos_o, p["eta"])
+    value = (
+        p["diffuse_reflectance"]
+        * (jnp.pi ** -1)
+        * (cos_o * (1.0 - F_i) * (1.0 - F_o))[..., None]
+    )
+    pdf = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - F_i)
+    return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _roughplastic_sample(p, wi, s1, s2):
+    cos_i = wi[..., 2]
+    alpha = p["alpha"]
+    F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
+    prob_spec = F_i
+    sel_s = s1 < prob_spec
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    wo_s = m.reflect_m(wi, mvec)
+    wo_d = warp.square_to_cosine_hemisphere(s2)
+    wo = jnp.where(sel_s[..., None], wo_s, wo_d)
+    value, pdf = _roughplastic_eval_pdf(p, wi, wo)
+    weight = value / jnp.maximum(pdf, 1e-12)[..., None]
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.where(
+            sel_s, jnp.uint32(BSDFFlags.GlossyReflection),
+            jnp.uint32(BSDFFlags.DiffuseReflection)
+        ),
+        hf=jnp.where(sel_s[..., None], mvec,
+                     jnp.concatenate([jnp.zeros_like(wi[..., :2]),
+                                      jnp.ones_like(wi[..., 2:3])], -1)),
+    )
+    ok = (cos_i > 0.0) & (wo[..., 2] > 0.0) & (pdf > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _roughplastic_eval_pdf(p, wi, wo):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    alpha = p["alpha"]
+    h = m.normalize(wi + wo)
+    d = warp.ggx_ndf(h, alpha, alpha)
+    g = warp.ggx_smith_g1(wi, h, alpha, alpha) * warp.ggx_smith_g1(wo, h, alpha, alpha)
+    F_h, _, _, _ = m.fresnel(m.dot(wi, h), p["eta"])
+    spec = p["specular_reflectance"] * (F_h * d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+    F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
+    F_o, _, _, _ = m.fresnel(cos_o, p["eta"])
+    diff = (
+        p["diffuse_reflectance"]
+        * (jnp.pi ** -1)
+        * (cos_o * (1.0 - F_i) * (1.0 - F_o))[..., None]
+    )
+    value = spec + diff
+    pdf_spec = warp.ggx_pdf_visible(wi, h, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(m.dot(wo, h)), 1e-20
+    )
+    pdf = F_i * pdf_spec + (1.0 - F_i) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def _null_sample(p, wi, s1, s2):
+    pdf = jnp.ones(wi.shape[:-1], wi.dtype)
+    bs = BSDFSample(
+        wo=-wi,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.Null, jnp.uint32),
+        hf=jnp.zeros_like(wi),
+    )
+    return bs, jnp.ones(wi.shape, wi.dtype), jnp.ones(pdf.shape, jnp.bool_)
+
+
+def _null_eval_pdf(p, wi, wo):
+    z = jnp.zeros(wi.shape[:-1] + (3,), wi.dtype)
+    return z, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+_SAMPLE_FNS = {
+    KIND_DIFFUSE: _diffuse_sample,
+    KIND_CONDUCTOR: _conductor_sample,
+    KIND_ROUGHCONDUCTOR: _roughconductor_sample,
+    KIND_DIELECTRIC: _dielectric_sample,
+    KIND_THINDIELECTRIC: _thindielectric_sample,
+    KIND_ROUGHDIELECTRIC: _roughdielectric_sample,
+    KIND_PLASTIC: _plastic_sample,
+    KIND_ROUGHPLASTIC: _roughplastic_sample,
+    KIND_NULL: _null_sample,
+}
+
+_EVAL_PDF_FNS = {
+    KIND_DIFFUSE: _diffuse_eval_pdf,
+    KIND_CONDUCTOR: _conductor_eval_pdf,
+    KIND_ROUGHCONDUCTOR: _roughconductor_eval_pdf,
+    KIND_DIELECTRIC: _dielectric_eval_pdf,
+    KIND_THINDIELECTRIC: _thindielectric_eval_pdf,
+    KIND_ROUGHDIELECTRIC: _roughdielectric_eval_pdf,
+    KIND_PLASTIC: _plastic_eval_pdf,
+    KIND_ROUGHPLASTIC: _roughplastic_eval_pdf,
+    KIND_NULL: _null_eval_pdf,
+}
+
+_TRANSMISSIVE_KINDS = (
+    KIND_DIELECTRIC, KIND_THINDIELECTRIC, KIND_ROUGHDIELECTRIC, KIND_NULL
+)
+
+
+def _apply_twosided_in(p, wi):
+    """twosided wrapper (src/bsdfs/twosided.cpp): flip frame on backside."""
+    flip = p["twosided"] & (wi[..., 2] < 0.0)
+    wi_f = jnp.where(flip[..., None], wi * jnp.array([1.0, 1.0, -1.0]), wi)
+    return wi_f, flip
+
+
+def _flip_z(v, flip):
+    return jnp.where(flip[..., None], v * jnp.array([1.0, 1.0, -1.0]), v)
+
+
+def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
+           active=None):
+    """Dispatch BSDF::sample over the wavefront.
+
+    Returns (BSDFSample, weight (N,3), ok mask).  ``kinds_present`` is the
+    static tuple of kind ids used by the scene (vcall-record analog).
+    """
+    p = gather_params(table, bsdf_idx)
+    wi_f, flip = _apply_twosided_in(p, wi)
+    bs_out, w_out, ok_out = None, None, None
+    for kind in kinds_present:
+        bs, w, ok = _SAMPLE_FNS[kind](p, wi_f, s1, s2)
+        is_k = p["kind"] == kind
+        if bs_out is None:
+            bs_out, w_out, ok_out = bs, w, ok & is_k
+        else:
+            bs_out = _select_bs(is_k, bs, bs_out)
+            w_out = jnp.where(is_k[..., None], w, w_out)
+            ok_out = jnp.where(is_k, ok, ok_out)
+    # un-flip wo for twosided backside hits
+    bs_out = bs_out.replace(wo=_flip_z(bs_out.wo, flip), hf=_flip_z(bs_out.hf, flip))
+    if active is not None:
+        ok_out = ok_out & active
+        w_out = jnp.where(ok_out[..., None], w_out, 0.0)
+    return bs_out, w_out, ok_out
+
+
+def _select_bs(mask, a: BSDFSample, b: BSDFSample) -> BSDFSample:
+    mm = mask[..., None]
+    return BSDFSample(
+        wo=jnp.where(mm, a.wo, b.wo),
+        pdf=jnp.where(mask, a.pdf, b.pdf),
+        eta=jnp.where(mask, a.eta, b.eta),
+        sampled_type=jnp.where(mask, a.sampled_type, b.sampled_type),
+        hf=jnp.where(mm, a.hf, b.hf),
+    )
+
+
+def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
+             active=None):
+    """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
+    p = gather_params(table, bsdf_idx)
+    wi_f, flip = _apply_twosided_in(p, wi)
+    wo_f = _flip_z(wo, flip)
+    val_out = jnp.zeros(wi.shape, wi.dtype)
+    pdf_out = jnp.zeros(wi.shape[:-1], wi.dtype)
+    for kind in kinds_present:
+        val, pdf = _EVAL_PDF_FNS[kind](p, wi_f, wo_f)
+        is_k = p["kind"] == kind
+        val_out = jnp.where(is_k[..., None], val, val_out)
+        pdf_out = jnp.where(is_k, pdf, pdf_out)
+    if active is not None:
+        val_out = jnp.where(active[..., None], val_out, 0.0)
+        pdf_out = jnp.where(active, pdf_out, 0.0)
+    return val_out, pdf_out
+
+
+def flags_of(table, bsdf_idx):
+    return table["flags"][jnp.maximum(bsdf_idx, 0)]

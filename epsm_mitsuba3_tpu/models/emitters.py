@@ -1,0 +1,306 @@
+"""Emitters (TPU analog of src/emitters/* + Scene NEE, scene.cpp:226-331).
+
+Emitter parameters live in one SoA table; next-event estimation picks an
+emitter uniformly (pmf 1/E, scene.cpp:87) and then samples a direction on
+the chosen emitter.  Area emitters sample mesh triangles proportionally to
+area; because vertex positions are differentiable optimization parameters,
+triangle areas and CDFs are recomputed *inside jit* from the current
+vertices every call (the analog of params.update() re-building the area
+distribution in mesh.cpp parameters_changed).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp
+from .records import DirectionSample
+
+KIND_AREA = 0
+KIND_POINT = 1
+KIND_CONSTANT = 2
+KIND_ENVMAP = 3
+KIND_DIRECTIONAL = 4
+KIND_SPOT = 5
+KIND_PROJECTOR = 6
+KIND_DIRECTIONALAREA = 7
+
+KIND_NAMES = {
+    "area": KIND_AREA,
+    "point": KIND_POINT,
+    "constant": KIND_CONSTANT,
+    "envmap": KIND_ENVMAP,
+    "directional": KIND_DIRECTIONAL,
+    "spot": KIND_SPOT,
+    "projector": KIND_PROJECTOR,
+    "directionalarea": KIND_DIRECTIONALAREA,
+}
+
+_DELTA_KINDS = (KIND_POINT, KIND_DIRECTIONAL, KIND_SPOT, KIND_PROJECTOR)
+
+_WORLD_RADIUS = 1.0e5  # pseudo-infinite distance for constant/envmap/directional
+
+
+def empty_table(n: int) -> Dict[str, jnp.ndarray]:
+    f = jnp.float32
+    return {
+        "kind": jnp.zeros((n,), jnp.int32),
+        "radiance": jnp.ones((n, 3), f),      # area/constant/envmap scale
+        "intensity": jnp.ones((n, 3), f),     # point/spot
+        "irradiance": jnp.ones((n, 3), f),    # directional
+        "position": jnp.zeros((n, 3), f),     # point/spot
+        "direction": jnp.tile(jnp.array([[0.0, 0.0, 1.0]], f), (n, 1)),
+        "cutoff_cos": jnp.full((n,), jnp.cos(jnp.deg2rad(20.0)), f),  # spot
+        "beam_cos": jnp.full((n,), jnp.cos(jnp.deg2rad(15.0)), f),
+        "shape_index": jnp.full((n,), -1, jnp.int32),
+    }
+
+
+def triangle_areas(vertices, faces):
+    p0 = vertices[faces[:, 0]]
+    p1 = vertices[faces[:, 1]]
+    p2 = vertices[faces[:, 2]]
+    return 0.5 * m.norm(jnp.cross(p1 - p0, p2 - p0))
+
+
+def area_emitter_data(vertices, faces, em_faces):
+    """Per-emitter padded triangle CDFs from current (traced) vertices.
+
+    ``em_faces``: (E, Tmax) int32 global face ids, -1 padded.  Returns
+    (cdf (E,Tmax) normalized, total_area (E,)).
+    """
+    valid = em_faces >= 0
+    safe = jnp.maximum(em_faces, 0)
+    areas = triangle_areas(vertices, faces)[safe] * valid
+    cdf = jnp.cumsum(areas, axis=-1)
+    total = cdf[:, -1]
+    cdf = cdf / jnp.maximum(total, 1e-20)[:, None]
+    return cdf, total
+
+
+def sample_direction(
+    table: Dict[str, jnp.ndarray],
+    kinds_present: Tuple[int, ...],
+    ref_p: jnp.ndarray,            # (N,3) reference points
+    sample2: jnp.ndarray,          # (N,2)
+    vertices, faces, em_faces,     # geometry for area emitters
+) -> Tuple[DirectionSample, jnp.ndarray]:
+    """Scene::sample_emitter_direction (scene.cpp:226-284) without occlusion.
+
+    Returns (DirectionSample with solid-angle pdf including the 1/E emitter
+    pick probability, emitter radiance `spec` so that weight = spec/pdf).
+    """
+    n_em = table["kind"].shape[0]
+    # uniform emitter pick with sample reuse (scene.cpp:87-107)
+    u0 = sample2[..., 0]
+    scaled = u0 * n_em
+    em_idx = jnp.clip(scaled.astype(jnp.int32), 0, n_em - 1)
+    u0r = jnp.clip(scaled - em_idx, 0.0, 1.0 - 1e-7)
+    s2 = jnp.stack([u0r, sample2[..., 1]], axis=-1)
+    pick_pdf = 1.0 / n_em
+
+    p_em = {k: v[em_idx] for k, v in table.items()}
+
+    ds_out = None
+    spec_out = None
+    cdf, total_area = (None, None)
+    if KIND_AREA in kinds_present or KIND_DIRECTIONALAREA in kinds_present:
+        cdf, total_area = area_emitter_data(vertices, faces, em_faces)
+
+    for kind in kinds_present:
+        ds, spec = _SAMPLE_FNS[kind](
+            p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf, total_area
+        )
+        is_k = p_em["kind"] == kind
+        if ds_out is None:
+            ds_out, spec_out = ds, spec
+        else:
+            ds_out = _select_ds(is_k, ds, ds_out)
+            spec_out = jnp.where(is_k[..., None], spec, spec_out)
+
+    ds_out = ds_out.replace(
+        pdf=ds_out.pdf * pick_pdf, emitter_index=em_idx.astype(jnp.int32)
+    )
+    # weight = radiance / pdf (scene.cpp:265-270)
+    w = spec_out / jnp.maximum(ds_out.pdf, 1e-20)[..., None]
+    w = jnp.where((ds_out.pdf > 0.0)[..., None], w, 0.0)
+    return ds_out, w
+
+
+def _select_ds(mask, a: DirectionSample, b: DirectionSample) -> DirectionSample:
+    mm = mask[..., None]
+    return DirectionSample(
+        p=jnp.where(mm, a.p, b.p),
+        n=jnp.where(mm, a.n, b.n),
+        uv=jnp.where(mm, a.uv, b.uv),
+        d=jnp.where(mm, a.d, b.d),
+        dist=jnp.where(mask, a.dist, b.dist),
+        pdf=jnp.where(mask, a.pdf, b.pdf),
+        delta=jnp.where(mask, a.delta, b.delta),
+        emitter_index=jnp.where(mask, a.emitter_index, b.emitter_index),
+    )
+
+
+def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
+                 total_area):
+    """Area emitter sample_direction via uniform-area mesh sampling
+    (area.cpp:94-117 -> mesh.cpp:530-560)."""
+    my_cdf = cdf[em_idx]                      # (N, Tmax)
+    u = s2[..., 0]
+    tri_slot = jax.vmap(
+        lambda c, x: jnp.searchsorted(c, x, side="right")
+    )(my_cdf, u)
+    tmax = em_faces.shape[1]
+    tri_slot = jnp.clip(tri_slot, 0, tmax - 1)
+    face_id = em_faces[em_idx, tri_slot]
+    face_id_safe = jnp.maximum(face_id, 0)
+    f = faces[face_id_safe]
+    p0 = vertices[f[:, 0]]
+    p1 = vertices[f[:, 1]]
+    p2 = vertices[f[:, 2]]
+    # sample uniform barycentrics; reuse second dim + rescaled first
+    lo = jnp.where(
+        tri_slot > 0,
+        jnp.take_along_axis(my_cdf, jnp.maximum(tri_slot - 1, 0)[..., None], -1)[..., 0],
+        0.0,
+    )
+    hi = jnp.take_along_axis(my_cdf, tri_slot[..., None], -1)[..., 0]
+    u_r = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
+    b = warp.square_to_uniform_triangle(jnp.stack([u_r, s2[..., 1]], -1))
+    pos = p0 * (1.0 - b[..., 0:1] - b[..., 1:2]) + p1 * b[..., 0:1] + p2 * b[..., 1:2]
+    nrm = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+
+    dvec = pos - ref_p
+    dist2 = m.squared_norm(dvec)
+    dist = jnp.sqrt(dist2)
+    d = dvec / jnp.maximum(dist, 1e-20)[..., None]
+    cos_em = m.dot(-d, nrm)
+    # solid-angle pdf = dist^2 / (cos * area_total)
+    area = total_area[em_idx]
+    pdf = jnp.where(
+        cos_em > 1e-7, dist2 / jnp.maximum(cos_em * area, 1e-20), 0.0
+    )
+    spec = jnp.where((cos_em > 0.0)[..., None], p_em["radiance"], 0.0)
+    ds = DirectionSample(
+        p=pos, n=nrm, uv=b, d=d, dist=dist, pdf=pdf,
+        delta=jnp.zeros(pdf.shape, jnp.bool_), emitter_index=em_idx,
+    )
+    return ds, spec
+
+
+def _point_sample(p_em, ref_p, s2, em_idx, *_):
+    dvec = p_em["position"] - ref_p
+    dist2 = m.squared_norm(dvec)
+    dist = jnp.sqrt(dist2)
+    d = dvec / jnp.maximum(dist, 1e-20)[..., None]
+    spec = p_em["intensity"] / jnp.maximum(dist2, 1e-20)[..., None]
+    ds = DirectionSample(
+        p=p_em["position"], n=-d, uv=jnp.zeros(s2.shape), d=d, dist=dist,
+        pdf=jnp.ones(dist.shape), delta=jnp.ones(dist.shape, jnp.bool_),
+        emitter_index=em_idx,
+    )
+    return ds, spec
+
+
+def _spot_sample(p_em, ref_p, s2, em_idx, *_):
+    ds, spec = _point_sample(p_em, ref_p, s2, em_idx)
+    # falloff between beam and cutoff angles (spot.cpp ``falloff_curve``)
+    cos_a = m.dot(-ds.d, m.normalize(p_em["direction"]))
+    t = (cos_a - p_em["cutoff_cos"]) / jnp.maximum(
+        p_em["beam_cos"] - p_em["cutoff_cos"], 1e-6
+    )
+    fall = jnp.clip(t, 0.0, 1.0)
+    return ds, spec * fall[..., None]
+
+
+def _constant_sample(p_em, ref_p, s2, em_idx, *_):
+    d = warp.square_to_uniform_sphere(s2)
+    pdf = warp.square_to_uniform_sphere_pdf(d)
+    dist = jnp.full(pdf.shape, _WORLD_RADIUS)
+    ds = DirectionSample(
+        p=ref_p + d * _WORLD_RADIUS, n=-d, uv=s2, d=d, dist=dist, pdf=pdf,
+        delta=jnp.zeros(pdf.shape, jnp.bool_), emitter_index=em_idx,
+    )
+    return ds, p_em["radiance"]
+
+
+def _envmap_sample(p_em, ref_p, s2, em_idx, *_):
+    # uniform-sphere sampling; importance sampling of the bitmap is layered
+    # on later (Hierarchical2D analog).  Radiance modulated at eval time.
+    return _constant_sample(p_em, ref_p, s2, em_idx)
+
+
+def _directional_sample(p_em, ref_p, s2, em_idx, *_):
+    d = -m.normalize(p_em["direction"])
+    dist = jnp.full(ref_p.shape[:-1], _WORLD_RADIUS)
+    ds = DirectionSample(
+        p=ref_p + d * _WORLD_RADIUS, n=-d, uv=s2, d=d, dist=dist,
+        pdf=jnp.ones(dist.shape), delta=jnp.ones(dist.shape, jnp.bool_),
+        emitter_index=em_idx,
+    )
+    return ds, p_em["irradiance"]
+
+
+_SAMPLE_FNS = {
+    KIND_AREA: _area_sample,
+    KIND_DIRECTIONALAREA: _area_sample,
+    KIND_POINT: _point_sample,
+    KIND_SPOT: _spot_sample,
+    KIND_CONSTANT: _constant_sample,
+    KIND_ENVMAP: _envmap_sample,
+    KIND_DIRECTIONAL: _directional_sample,
+    KIND_PROJECTOR: _spot_sample,
+}
+
+
+def pdf_direction(
+    table, kinds_present, ref_p, d, hit_emitter_idx, hit_p, hit_n,
+    vertices, faces, em_faces, active,
+):
+    """Scene::pdf_emitter_direction (scene.cpp:286-331) for MIS: the
+    solid-angle NEE pdf of having sampled direction ``d`` that hit emitter
+    ``hit_emitter_idx`` at ``hit_p``/``hit_n``."""
+    n_em = table["kind"].shape[0]
+    kind = table["kind"][jnp.maximum(hit_emitter_idx, 0)]
+    pdf = jnp.zeros(ref_p.shape[:-1], ref_p.dtype)
+    if KIND_AREA in kinds_present or KIND_DIRECTIONALAREA in kinds_present:
+        _, total_area = area_emitter_data(vertices, faces, em_faces)
+        area = total_area[jnp.maximum(hit_emitter_idx, 0)]
+        dvec = hit_p - ref_p
+        dist2 = m.squared_norm(dvec)
+        cos_em = m.dot(-d, hit_n)
+        pdf_area = jnp.where(
+            cos_em > 1e-7, dist2 / jnp.maximum(cos_em * area, 1e-20), 0.0
+        )
+        is_area = (kind == KIND_AREA) | (kind == KIND_DIRECTIONALAREA)
+        pdf = jnp.where(is_area, pdf_area, pdf)
+    if KIND_CONSTANT in kinds_present or KIND_ENVMAP in kinds_present:
+        is_inf = (kind == KIND_CONSTANT) | (kind == KIND_ENVMAP)
+        pdf = jnp.where(is_inf, warp.square_to_uniform_sphere_pdf(d), pdf)
+    pdf = pdf / n_em
+    return jnp.where(active & (hit_emitter_idx >= 0), pdf, 0.0)
+
+
+def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
+    """Area emitter L on direct hit (area.cpp ``eval``): radiance if the
+    hit is on the emissive (front) side."""
+    rad = table["radiance"][jnp.maximum(si_emitter_idx, 0)]
+    kind = table["kind"][jnp.maximum(si_emitter_idx, 0)]
+    is_area = (kind == KIND_AREA) | (kind == KIND_DIRECTIONALAREA)
+    vis = (si_emitter_idx >= 0) & is_area & (wi_local_z > 0.0)
+    return jnp.where(vis[..., None], rad, 0.0)
+
+
+def eval_env(table, kinds_present, d, active):
+    """Environment contribution for escaped rays (constant.cpp / envmap.cpp)."""
+    out = jnp.zeros(d.shape, d.dtype)
+    if KIND_CONSTANT not in kinds_present and KIND_ENVMAP not in kinds_present:
+        return out
+    kind = table["kind"]
+    is_env = (kind == KIND_CONSTANT) | (kind == KIND_ENVMAP)
+    # sum of all constant emitters' radiance (usually one)
+    rad = jnp.sum(jnp.where(is_env[:, None], table["radiance"], 0.0), axis=0)
+    return jnp.where(active[..., None], rad[None, :], 0.0)

@@ -1,0 +1,565 @@
+"""Scene representation + Mitsuba-compatible dict loader + parameter traversal.
+
+TPU-native analog of:
+ * ``src/render/scene.cpp`` — Scene object, emitter tables, ray queries
+ * ``src/core/xml.cpp`` / ``mi.load_dict`` — scene-description parsing
+   (same nested ``{'type': ...}`` schema, so reference scenes port directly)
+ * ``src/python/python/util.py:12-346`` — ``mi.traverse`` / SceneParameters
+
+Design: geometry is one flat SoA (all meshes concatenated); structure
+(shape ranges, kinds present) is static metadata; every differentiable
+quantity (vertices, normals, BSDF/emitter parameters, camera pose) is a
+traced leaf.  ``SceneParameters.update()`` functionally rebuilds the Scene.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field
+from ..core.transform import ScalarTransform4f
+from . import bsdf as bsdf_mod
+from . import emitters as em_mod
+from . import mesh_io, shapes as shapes_mod
+from .records import Ray, RayFlags
+from .sensors import Sensor
+
+
+@pytree_dataclass
+class SceneStatic:
+    shape_names: Tuple[str, ...] = static_field(default=())
+    #: per-shape (vertex_start, vertex_count)
+    vertex_ranges: Tuple[Tuple[int, int], ...] = static_field(default=())
+    #: per-shape (face_start, face_count)
+    face_ranges: Tuple[Tuple[int, int], ...] = static_field(default=())
+    bsdf_kinds: Tuple[int, ...] = static_field(default=())
+    emitter_kinds: Tuple[int, ...] = static_field(default=())
+    bsdf_names: Tuple[str, ...] = static_field(default=())
+    emitter_names: Tuple[str, ...] = static_field(default=())
+    integrator: Tuple[Tuple[str, Any], ...] = static_field(default=())
+    spp: int = static_field(default=16)
+
+
+@pytree_dataclass
+class Scene:
+    vertices: jnp.ndarray       # (V, 3)
+    normals: jnp.ndarray        # (V, 3)  zero rows -> face normal at hit
+    uvs: jnp.ndarray            # (V, 2)
+    faces: jnp.ndarray          # (F, 3) int32 (global vertex ids)
+    face_shape: jnp.ndarray     # (F,) int32
+    shape_bsdf: jnp.ndarray     # (S,) int32
+    shape_emitter: jnp.ndarray  # (S,) int32, -1 if not emissive
+    bsdfs: Dict[str, jnp.ndarray]
+    emitters: Dict[str, jnp.ndarray]
+    em_faces: jnp.ndarray       # (E, Tmax) int32 global face ids (-1 pad)
+    sensors: Tuple[Sensor, ...]
+    static: SceneStatic = static_field(default=None)
+
+    # -- ray queries (scene.cpp:116-142) ------------------------------------
+    def ray_intersect_preliminary(self, ray: Ray):
+        from ..ops import intersect as I
+        from ..ops import accel
+        return accel.ray_intersect(self, ray)
+
+    def ray_intersect(self, ray: Ray, ray_flags: int = RayFlags.All):
+        from ..ops import intersect as I
+        pi = self.ray_intersect_preliminary(ray)
+        return I.compute_surface_interaction(self, ray, pi, ray_flags)
+
+    def ray_test(self, ray: Ray):
+        from ..ops import accel
+        return accel.ray_test(self, ray)
+
+
+# ===========================================================================
+# Dict loader (mi.load_dict analog)
+# ===========================================================================
+
+_MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
+               "sphere", "cylinder")
+
+
+def _rgb(value, default=(1.0, 1.0, 1.0)):
+    """Parse a Mitsuba color spec: scalar | [r,g,b] | {'type':'rgb','value':..}."""
+    if value is None:
+        return np.asarray(default, np.float32)
+    if isinstance(value, dict):
+        t = value.get("type", "rgb")
+        if t in ("rgb", "srgb", "d65", "uniform", "regular", "irregular"):
+            return _rgb(value.get("value", value.get("color", default)))
+        raise ValueError(f"unsupported spectrum type {t}")
+    arr = np.asarray(value, np.float32)
+    if arr.ndim == 0:
+        arr = np.full((3,), float(arr), np.float32)
+    return arr.reshape(3)
+
+
+def _transform(value) -> np.ndarray:
+    if value is None:
+        return np.eye(4, dtype=np.float32)
+    if isinstance(value, ScalarTransform4f):
+        return np.asarray(value.matrix, np.float32)
+    arr = np.asarray(value, np.float32)
+    return arr.reshape(4, 4)
+
+
+def _parse_bsdf(d: dict):
+    """Returns (kind_name, params dict, twosided flag). Unwraps twosided/mask."""
+    t = d["type"]
+    twosided = False
+    while t in ("twosided", "mask", "bumpmap", "normalmap"):
+        if t == "twosided":
+            twosided = True
+        # unwrap to nested child bsdf
+        child = None
+        for key in ("material", "bsdf", "nested"):
+            if key in d and isinstance(d[key], dict):
+                child = d[key]
+                break
+        if child is None:
+            child = next(
+                (v for v in d.values() if isinstance(v, dict) and
+                 v.get("type") in bsdf_mod.KIND_NAMES or
+                 (isinstance(v, dict) and v.get("type") == "twosided")),
+                None,
+            )
+        if child is None:
+            raise ValueError(f"wrapper bsdf '{t}' without nested material")
+        d = child
+        t = d["type"]
+    if t not in bsdf_mod.KIND_NAMES:
+        raise ValueError(f"unsupported bsdf type '{t}'")
+    return t, d, twosided
+
+
+_IOR_NAMES = {"bk7": 1.5046, "air": 1.000277, "water": 1.3330,
+              "diamond": 2.419, "glass": 1.5046, "acrylic": 1.49}
+
+
+def _ior(v, default):
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return _IOR_NAMES.get(v, default)
+    return float(v)
+
+
+class _Builder:
+    def __init__(self):
+        self.vertices, self.normals, self.uvs, self.faces = [], [], [], []
+        self.face_shape = []
+        self.shape_names, self.vertex_ranges, self.face_ranges = [], [], []
+        self.shape_bsdf, self.shape_emitter = [], []
+        self.bsdf_rows, self.bsdf_names = [], []
+        self.bsdf_by_id = {}
+        self.em_rows, self.em_names, self.em_shape, self.em_face_list = [], [], [], []
+        self.sensors = []
+        self.integrator = {"type": "path", "max_depth": 6, "rr_depth": 5}
+        self.spp = 16
+        self._v_off = 0
+        self._f_off = 0
+
+    # -- BSDFs --------------------------------------------------------------
+    def add_bsdf(self, d: dict, name: str) -> int:
+        if d.get("type") == "ref":
+            return self.bsdf_by_id[d["id"]]
+        kind_name, p, twosided = _parse_bsdf(d)
+        kind = bsdf_mod.KIND_NAMES[kind_name]
+        row = {
+            "kind": kind,
+            "flags": bsdf_mod.KIND_FLAGS[kind]
+            | (bsdf_mod.BSDFFlags.BackSide if twosided else 0),
+            "twosided": twosided,
+            "reflectance": _rgb(p.get("reflectance"), (0.5, 0.5, 0.5)),
+            "reflectance_tex": -1,
+            "specular_reflectance": _rgb(p.get("specular_reflectance")),
+            "specular_transmittance": _rgb(p.get("specular_transmittance")),
+            "diffuse_reflectance": _rgb(p.get("diffuse_reflectance"), (0.5, 0.5, 0.5)),
+            "alpha": float(p.get("alpha", 0.1)),
+            "eta_c": _rgb(p.get("eta"), (0.0, 0.0, 0.0))
+            if kind in (bsdf_mod.KIND_CONDUCTOR, bsdf_mod.KIND_ROUGHCONDUCTOR)
+            else np.zeros(3, np.float32),
+            "k_c": _rgb(p.get("k"), (1.0, 1.0, 1.0)),
+            "eta": _ior(p.get("int_ior"), 1.5046) / _ior(p.get("ext_ior"), 1.000277)
+            if kind in (bsdf_mod.KIND_DIELECTRIC, bsdf_mod.KIND_THINDIELECTRIC,
+                        bsdf_mod.KIND_ROUGHDIELECTRIC, bsdf_mod.KIND_PLASTIC,
+                        bsdf_mod.KIND_ROUGHPLASTIC)
+            else float(p.get("eta", 1.5046)) if not isinstance(p.get("eta"), (dict, list)) else 1.5046,
+        }
+        idx = len(self.bsdf_rows)
+        self.bsdf_rows.append(row)
+        self.bsdf_names.append(name)
+        if "id" in d:
+            self.bsdf_by_id[d["id"]] = idx
+        return idx
+
+    def default_bsdf(self) -> int:
+        return self.add_bsdf({"type": "diffuse"}, f"__default{len(self.bsdf_rows)}")
+
+    # -- Emitters -----------------------------------------------------------
+    def add_emitter(self, d: dict, name: str, shape_index: int = -1) -> int:
+        t = d["type"]
+        if t not in em_mod.KIND_NAMES:
+            raise ValueError(f"unsupported emitter type '{t}'")
+        kind = em_mod.KIND_NAMES[t]
+        to_world = _transform(d.get("to_world"))
+        pos = to_world[:3, 3]
+        direction = to_world[:3, :3] @ np.array([0, 0, 1], np.float32)
+        if "position" in d:
+            pos = np.asarray(d["position"], np.float32)
+        if "direction" in d:
+            direction = np.asarray(d["direction"], np.float32)
+        cutoff = float(d.get("cutoff_angle", 20.0))
+        beam = float(d.get("beam_width", cutoff * 0.75))
+        row = {
+            "kind": kind,
+            "radiance": _rgb(d.get("radiance")),
+            "intensity": _rgb(d.get("intensity")),
+            "irradiance": _rgb(d.get("irradiance")),
+            "position": pos,
+            "direction": direction,
+            "cutoff_cos": np.cos(np.deg2rad(cutoff)),
+            "beam_cos": np.cos(np.deg2rad(beam)),
+            "shape_index": shape_index,
+        }
+        idx = len(self.em_rows)
+        self.em_rows.append(row)
+        self.em_names.append(name)
+        return idx
+
+    # -- Shapes -------------------------------------------------------------
+    def add_shape(self, d: dict, name: str):
+        t = d["type"]
+        if t in ("obj", "ply", "serialized"):
+            mesh = mesh_io.load_mesh_file(d["filename"])
+        elif t == "rectangle":
+            mesh = shapes_mod.rectangle()
+        elif t == "cube":
+            mesh = shapes_mod.cube()
+        elif t == "disk":
+            mesh = shapes_mod.disk()
+        elif t == "sphere":
+            mesh = shapes_mod.sphere(
+                radius=float(d.get("radius", 1.0)),
+                center=tuple(d.get("center", (0.0, 0.0, 0.0))),
+            )
+        elif t == "cylinder":
+            mesh = shapes_mod.cylinder(radius=float(d.get("radius", 1.0)))
+        else:
+            raise ValueError(f"unsupported shape type '{t}'")
+
+        to_world = _transform(d.get("to_world"))
+        v = mesh["vertices"]
+        vh = np.concatenate([v, np.ones((len(v), 1), np.float32)], -1)
+        v = (vh @ to_world.T)[:, :3]
+        n = mesh.get("normals")
+        if n is not None:
+            nrm_mat = np.linalg.inv(to_world[:3, :3]).T
+            n = n @ nrm_mat.T
+            norm = np.linalg.norm(n, axis=-1, keepdims=True)
+            n = n / np.maximum(norm, 1e-20)
+        else:
+            n = np.zeros_like(v)
+        if bool(d.get("face_normals", False)):
+            n = np.zeros_like(v)  # zero -> use geometric normal at hit
+        uv = mesh.get("uvs")
+        if uv is None:
+            uv = np.zeros((len(v), 2), np.float32)
+        f = mesh["faces"]
+        if bool(d.get("flip_normals", False)):
+            f = f[:, ::-1].copy()
+            n = -n
+
+        shape_index = len(self.shape_names)
+        # bsdf / emitter children
+        bsdf_idx = -1
+        em_idx = -1
+        for key, val in d.items():
+            if not isinstance(val, dict):
+                continue
+            vt = val.get("type")
+            if vt == "ref" or key == "bsdf" or vt in bsdf_mod.KIND_NAMES or vt in (
+                "twosided", "mask"
+            ):
+                bsdf_idx = self.add_bsdf(val, f"{name}.bsdf")
+            elif key == "emitter" or vt in em_mod.KIND_NAMES:
+                em_idx = self.add_emitter(val, f"{name}.emitter", shape_index)
+        if bsdf_idx < 0:
+            bsdf_idx = self.default_bsdf()
+
+        nf = len(f)
+        nv = len(v)
+        self.shape_names.append(name)
+        self.vertex_ranges.append((self._v_off, nv))
+        self.face_ranges.append((self._f_off, nf))
+        self.shape_bsdf.append(bsdf_idx)
+        self.shape_emitter.append(em_idx)
+        self.vertices.append(v.astype(np.float32))
+        self.normals.append(n.astype(np.float32))
+        self.uvs.append(uv.astype(np.float32))
+        self.faces.append((f + self._v_off).astype(np.int32))
+        self.face_shape.append(np.full((nf,), shape_index, np.int32))
+        if em_idx >= 0:
+            self.em_shape.append(em_idx)
+            self.em_face_list.append(
+                np.arange(self._f_off, self._f_off + nf, dtype=np.int32)
+            )
+        self._v_off += nv
+        self._f_off += nf
+
+    def add_sensor(self, d: dict):
+        film = d.get("film", {})
+        sampler = d.get("sampler", {})
+        rf = film.get("rfilter", {})
+        rfk = rf.get("type", "gaussian") if isinstance(rf, dict) else str(rf)
+        self.spp = int(sampler.get("sample_count", self.spp))
+        fov = float(d.get("fov", 45.0))
+        self.sensors.append(
+            Sensor(
+                to_world=jnp.asarray(_transform(d.get("to_world"))),
+                kind=d.get("type", "perspective"),
+                fov_x=fov,
+                near=float(d.get("near_clip", 1e-2)),
+                far=float(d.get("far_clip", 1e4)),
+                width=int(film.get("width", 256)),
+                height=int(film.get("height", 256)),
+                rfilter=rfk,
+                aperture_radius=float(d.get("aperture_radius", 0.0)),
+                focus_distance=float(d.get("focus_distance", 1.0)),
+            )
+        )
+
+    def build(self) -> Scene:
+        if not self.shape_names:
+            raise ValueError("scene has no shapes")
+        if not self.sensors:
+            self.add_sensor({"type": "perspective"})
+        n_b = len(self.bsdf_rows)
+        btable = bsdf_mod.empty_table(n_b)
+        for i, row in enumerate(self.bsdf_rows):
+            for k, val in row.items():
+                arr = np.asarray(btable[k])
+                arr = np.array(arr)
+                arr[i] = val
+                btable[k] = arr
+        btable = {k: jnp.asarray(v) for k, v in btable.items()}
+
+        n_e = max(len(self.em_rows), 1)
+        etable = em_mod.empty_table(n_e)
+        for i, row in enumerate(self.em_rows):
+            for k, val in row.items():
+                arr = np.array(np.asarray(etable[k]))
+                arr[i] = val
+                etable[k] = arr
+        etable = {k: jnp.asarray(v) for k, v in etable.items()}
+        if not self.em_rows:
+            # no emitter: keep one dummy constant-black emitter slot
+            etable["kind"] = jnp.asarray([em_mod.KIND_CONSTANT], jnp.int32)
+            etable["radiance"] = jnp.zeros((1, 3), jnp.float32)
+
+        # padded emitter triangle table
+        tmax = max((len(x) for x in self.em_face_list), default=1)
+        em_faces = np.full((n_e, tmax), -1, np.int32)
+        for em_idx, face_ids in zip(self.em_shape, self.em_face_list):
+            em_faces[em_idx, : len(face_ids)] = face_ids
+
+        kinds_b = tuple(sorted({int(r["kind"]) for r in self.bsdf_rows}))
+        kinds_e = tuple(sorted({int(r["kind"]) for r in self.em_rows})) or (
+            em_mod.KIND_CONSTANT,
+        )
+
+        static = SceneStatic(
+            shape_names=tuple(self.shape_names),
+            vertex_ranges=tuple(self.vertex_ranges),
+            face_ranges=tuple(self.face_ranges),
+            bsdf_kinds=kinds_b,
+            emitter_kinds=kinds_e,
+            bsdf_names=tuple(self.bsdf_names),
+            emitter_names=tuple(self.em_names),
+            integrator=tuple(sorted(self.integrator.items())),
+            spp=self.spp,
+        )
+        return Scene(
+            vertices=jnp.asarray(np.concatenate(self.vertices)),
+            normals=jnp.asarray(np.concatenate(self.normals)),
+            uvs=jnp.asarray(np.concatenate(self.uvs)),
+            faces=jnp.asarray(np.concatenate(self.faces)),
+            face_shape=jnp.asarray(np.concatenate(self.face_shape)),
+            shape_bsdf=jnp.asarray(self.shape_bsdf, jnp.int32),
+            shape_emitter=jnp.asarray(self.shape_emitter, jnp.int32),
+            bsdfs=btable,
+            emitters=etable,
+            em_faces=jnp.asarray(em_faces),
+            sensors=tuple(self.sensors),
+            static=static,
+        )
+
+
+_SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
+                 "batch", "distant")
+_INTEGRATOR_TYPES = ("path", "prb", "prb_basic", "prb_reparam", "direct",
+                     "depth", "aov", "moment", "manifold", "manifold_caustic",
+                     "volpath", "ptracer", "direct_reparam")
+
+
+def load_dict(d: Dict[str, Any]) -> Scene:
+    """mi.load_dict analog: builds a Scene from a Mitsuba-style nested dict."""
+    if d.get("type") != "scene":
+        raise ValueError("top-level dict must have type 'scene'")
+    b = _Builder()
+    for key, val in d.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        t = val.get("type")
+        if t in _SENSOR_TYPES:
+            b.add_sensor(val)
+        elif t in _INTEGRATOR_TYPES:
+            b.integrator = dict(val)
+        elif t in _MESH_TYPES:
+            b.add_shape(val, key)
+        elif t in bsdf_mod.KIND_NAMES or t in ("twosided", "mask"):
+            b.add_bsdf(val, key)  # standalone (usually with 'id')
+        elif t in em_mod.KIND_NAMES:
+            b.add_emitter(val, key)  # shapeless emitter (constant/envmap/point)
+        elif t == "merge":
+            for k2, v2 in val.items():
+                if isinstance(v2, dict) and v2.get("type") in _MESH_TYPES:
+                    b.add_shape(v2, f"{key}.{k2}")
+        else:
+            raise ValueError(f"unsupported scene element '{key}' type={t}")
+    return b.build()
+
+
+# ===========================================================================
+# traverse / SceneParameters (util.py:12-346)
+# ===========================================================================
+
+class SceneParameters:
+    """Dict-like differentiable-parameter view of a Scene.
+
+    Keys follow the reference naming so EPSM experiment code ports
+    directly:  ``<shape>.vertex_positions``, ``<shape>.vertex_normals``,
+    ``<shape>.bsdf.reflectance.value``, ``<shape>.bsdf.alpha``,
+    ``<shape>.emitter.radiance.value``, ``sensor[i].to_world``.
+    Assignments are buffered; :meth:`update` applies them functionally and
+    replaces ``self.scene`` (the analog of params.update() re-uploading
+    buffers + refitting the accel in util.py:288-346).
+    """
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self._pending: Dict[str, Any] = {}
+
+    # -- key enumeration ----------------------------------------------------
+    def keys(self):
+        ks = []
+        st = self.scene.static
+        for i, name in enumerate(st.shape_names):
+            ks.append(f"{name}.vertex_positions")
+            ks.append(f"{name}.vertex_normals")
+            ks.append(f"{name}.bsdf.reflectance.value")
+            ks.append(f"{name}.bsdf.alpha")
+            if int(self.scene.shape_emitter[i]) >= 0:
+                ks.append(f"{name}.emitter.radiance.value")
+        for i in range(len(self.scene.sensors)):
+            ks.append(f"sensor[{i}].to_world")
+        return ks
+
+    def __contains__(self, key):
+        try:
+            self._resolve(key)
+            return True
+        except KeyError:
+            return False
+
+    def _shape_index(self, name: str) -> int:
+        try:
+            return self.scene.static.shape_names.index(name)
+        except ValueError:
+            raise KeyError(name)
+
+    def _resolve(self, key: str):
+        st = self.scene.static
+        if key.startswith("sensor[") and key.endswith("].to_world"):
+            return ("sensor", int(key[len("sensor["):key.index("]")]))
+        name, _, rest = key.partition(".")
+        idx = self._shape_index(name)
+        if rest == "vertex_positions":
+            return ("verts", idx)
+        if rest == "vertex_normals":
+            return ("norms", idx)
+        if rest in ("bsdf.reflectance.value", "bsdf.reflectance"):
+            return ("bsdf", idx, "reflectance")
+        if rest in ("bsdf.alpha",):
+            return ("bsdf", idx, "alpha")
+        if rest in ("emitter.radiance.value", "emitter.radiance"):
+            return ("emitter", idx, "radiance")
+        raise KeyError(key)
+
+    def __getitem__(self, key: str):
+        if key in self._pending:
+            return self._pending[key]
+        kind = self._resolve(key)
+        sc = self.scene
+        if kind[0] == "verts":
+            s, c = sc.static.vertex_ranges[kind[1]]
+            return sc.vertices[s : s + c]
+        if kind[0] == "norms":
+            s, c = sc.static.vertex_ranges[kind[1]]
+            return sc.normals[s : s + c]
+        if kind[0] == "bsdf":
+            b = int(sc.shape_bsdf[kind[1]])
+            return sc.bsdfs[kind[2]][b]
+        if kind[0] == "emitter":
+            e = int(sc.shape_emitter[kind[1]])
+            return sc.emitters[kind[2]][e]
+        if kind[0] == "sensor":
+            return sc.sensors[kind[1]].to_world
+        raise KeyError(key)
+
+    def __setitem__(self, key: str, value):
+        self._resolve(key)  # validate
+        self._pending[key] = value
+
+    def update(self, values: Dict[str, Any] = None) -> Scene:
+        if values:
+            for k, v in values.items():
+                self[k] = v
+        sc = self.scene
+        for key, value in self._pending.items():
+            kind = self._resolve(key)
+            if kind[0] == "verts":
+                s, c = sc.static.vertex_ranges[kind[1]]
+                value = jnp.asarray(value, sc.vertices.dtype).reshape(c, 3)
+                sc = sc.replace(vertices=sc.vertices.at[s : s + c].set(value))
+            elif kind[0] == "norms":
+                s, c = sc.static.vertex_ranges[kind[1]]
+                value = jnp.asarray(value, sc.normals.dtype).reshape(c, 3)
+                sc = sc.replace(normals=sc.normals.at[s : s + c].set(value))
+            elif kind[0] == "bsdf":
+                b = int(sc.shape_bsdf[kind[1]])
+                tab = dict(sc.bsdfs)
+                tab[kind[2]] = tab[kind[2]].at[b].set(value)
+                sc = sc.replace(bsdfs=tab)
+            elif kind[0] == "emitter":
+                e = int(sc.shape_emitter[kind[1]])
+                tab = dict(sc.emitters)
+                tab[kind[2]] = tab[kind[2]].at[e].set(value)
+                sc = sc.replace(emitters=tab)
+            elif kind[0] == "sensor":
+                sensors = list(sc.sensors)
+                sensors[kind[1]] = sensors[kind[1]].replace(
+                    to_world=jnp.asarray(value).reshape(4, 4)
+                )
+                sc = sc.replace(sensors=tuple(sensors))
+        self._pending = {}
+        self.scene = sc
+        return sc
+
+
+def traverse(scene: Scene) -> SceneParameters:
+    return SceneParameters(scene)

@@ -1,0 +1,94 @@
+"""Sensors (TPU analog of src/sensors/{perspective,thinlens,orthographic}.cpp).
+
+A sensor is a pytree with a traced ``to_world`` matrix (differentiable for
+camera optimization) and static intrinsics.  ``sample_ray_differential``
+produces the wavefront of primary rays + x/y-offset ray directions used by
+the EPSM position-channel gradient (epsm.py:249-257).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.pytree import pytree_dataclass, static_field
+from .records import Ray
+
+
+@pytree_dataclass
+class Sensor:
+    to_world: jnp.ndarray                 # (4,4) camera-to-world
+    kind: str = static_field(default="perspective")
+    fov_x: float = static_field(default=45.0)   # degrees, x axis
+    near: float = static_field(default=1e-2)
+    far: float = static_field(default=1e4)
+    width: int = static_field(default=256)      # film resolution
+    height: int = static_field(default=256)
+    rfilter: str = static_field(default="gaussian")
+    aperture_radius: float = static_field(default=0.0)   # thinlens
+    focus_distance: float = static_field(default=1.0)    # thinlens
+
+
+def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
+                            aperture_sample=None):
+    """Primary rays for film positions ``pos01`` in [0,1]^2.
+
+    Derived from perspective.cpp ``sample_ray_differential``: the
+    camera-space direction for film sample (u, v) is
+    ``[(1-2u) tan(fov_x/2), (1-2v) tan(fov_x/2)/aspect, 1]`` (see
+    transform.h ``perspective_projection`` composition).  Returns
+    (Ray with d_x/d_y differentials, weight).
+    """
+    aspect = sensor.width / sensor.height
+    tan_half = jnp.tan(jnp.deg2rad(sensor.fov_x) * 0.5)
+    u = pos01[..., 0]
+    v = pos01[..., 1]
+
+    def cam_dir(uu, vv):
+        return jnp.stack(
+            [
+                (1.0 - 2.0 * uu) * tan_half,
+                (1.0 - 2.0 * vv) * tan_half / aspect,
+                jnp.ones_like(uu),
+            ],
+            axis=-1,
+        )
+
+    d_cam = cam_dir(u, v)
+    du = 1.0 / sensor.width
+    dv = 1.0 / sensor.height
+    d_cam_x = cam_dir(u + du, v)
+    d_cam_y = cam_dir(u, v + dv)
+
+    R = sensor.to_world[:3, :3]
+    o = jnp.broadcast_to(sensor.to_world[:3, 3], d_cam.shape)
+
+    if sensor.kind == "orthographic":
+        d = m.normalize(jnp.einsum("ij,...j->...i", R, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0]), d_cam.shape)))
+        # orthographic: origin moves with film sample (in units of sensor window)
+        o = o + jnp.einsum("ij,...j->...i", R, d_cam * jnp.array([1.0, 1.0, 0.0]))
+        d_x = d
+        d_y = d
+    elif sensor.kind == "thinlens" and sensor.aperture_radius > 0.0:
+        from ..core import warp as _warp
+        ap = _warp.square_to_uniform_disk_concentric(
+            aperture_sample if aperture_sample is not None
+            else jnp.zeros(pos01.shape)
+        ) * sensor.aperture_radius
+        focus_p = d_cam * (sensor.focus_distance / d_cam[..., 2:3])
+        o_cam = jnp.concatenate([ap, jnp.zeros_like(ap[..., :1])], -1)
+        d_cam_l = m.normalize(focus_p - o_cam)
+        o = o + jnp.einsum("ij,...j->...i", R, o_cam)
+        d = m.normalize(jnp.einsum("ij,...j->...i", R, d_cam_l))
+        d_x = m.normalize(jnp.einsum("ij,...j->...i", R, m.normalize(
+            d_cam_x * (sensor.focus_distance / d_cam_x[..., 2:3]) - o_cam)))
+        d_y = m.normalize(jnp.einsum("ij,...j->...i", R, m.normalize(
+            d_cam_y * (sensor.focus_distance / d_cam_y[..., 2:3]) - o_cam)))
+    else:
+        d = m.normalize(jnp.einsum("ij,...j->...i", R, d_cam))
+        d_x = m.normalize(jnp.einsum("ij,...j->...i", R, d_cam_x))
+        d_y = m.normalize(jnp.einsum("ij,...j->...i", R, d_cam_y))
+
+    ray = Ray.make(o, d, d_x=d_x, d_y=d_y)
+    weight = jnp.ones(d.shape[:-1] + (3,), d.dtype)
+    return ray, weight

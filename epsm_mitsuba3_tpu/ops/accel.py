@@ -1,0 +1,34 @@
+"""Acceleration-structure dispatch (scene_embree.inl / scene_optix.inl analog).
+
+Chooses between brute-force intersection (small scenes: pure vectorized VPU
+work, zero divergence — faster than any tree below a few thousand
+triangles) and BVH traversal (ops/bvh.py builder + ops/traverse.py
+while-loop kernel) for large scenes.  The switch is static per scene size,
+so each compiled render picks exactly one path.
+"""
+from __future__ import annotations
+
+from . import intersect as I
+
+#: scenes with at most this many triangles use brute force
+BRUTE_FORCE_MAX_TRIS = 4096
+
+
+def use_brute_force(scene) -> bool:
+    return scene.faces.shape[0] <= BRUTE_FORCE_MAX_TRIS or getattr(
+        scene, "bvh", None
+    ) is None
+
+
+def ray_intersect(scene, ray):
+    if use_brute_force(scene):
+        return I.ray_intersect_brute(ray, scene.vertices, scene.faces)
+    from . import traverse as T
+    return T.bvh_ray_intersect(scene, ray)
+
+
+def ray_test(scene, ray):
+    if use_brute_force(scene):
+        return I.ray_test_brute(ray, scene.vertices, scene.faces)
+    from . import traverse as T
+    return T.bvh_ray_test(scene, ray)

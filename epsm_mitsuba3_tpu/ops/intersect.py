@@ -1,0 +1,252 @@
+"""Ray-triangle intersection and differentiable surface interactions.
+
+TPU analog of ``src/render/scene_embree.inl`` (traversal) and
+``Mesh::compute_surface_interaction`` (``src/render/mesh.cpp:640-830``).
+
+Traversal is split into a *non-differentiable* hit search producing a
+``PreliminaryIntersection`` (prim index / t / barycentrics, all detached)
+and a *differentiable* ``compute_surface_interaction`` that re-derives
+(t, u, v) from the hit triangle via Möller-Trumbore under the reference's
+``replace_grad`` trick (mesh.cpp:688-695) — in JAX the primal comes from
+the traversal and the gradient path from the re-derivation using
+``x + (y - stop_gradient(y))``.
+
+Two hit-search backends:
+ * brute force over all triangles (chunked running-min scan) — optimal for
+   small scenes: pure VPU work, no divergence;
+ * BVH traversal (ops/bvh.py + ops/traverse.py) for large scenes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..models.records import (PreliminaryIntersection, Ray, RayFlags,
+                              SurfaceInteraction)
+
+
+def replace_grad(primal, grad_source):
+    """dr.replace_grad: value of ``primal``, gradient of ``grad_source``."""
+    return jax.lax.stop_gradient(primal) + (
+        grad_source - jax.lax.stop_gradient(grad_source)
+    )
+
+
+def moeller_trumbore(ray_o, ray_d, p0, p1, p2):
+    """Möller-Trumbore ray/triangle test (include/mitsuba/render/mesh.h:344).
+
+    Returns (t, u, v, hit_mask); (u, v) with p = (1-u-v)p0 + u p1 + v p2.
+    Fully differentiable w.r.t. everything.
+    """
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = jnp.cross(ray_d, e2)
+    det = m.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, jnp.inf)
+    tvec = ray_o - p0
+    u = m.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = m.dot(ray_d, qvec) * inv_det
+    t = m.dot(e2, qvec) * inv_det
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (jnp.abs(det) > 1e-12)
+    return t, u, v, hit
+
+
+def ray_intersect_brute(ray: Ray, vertices, faces,
+                        chunk: int = 512) -> PreliminaryIntersection:
+    """Closest-hit over all triangles with a chunked running-min scan.
+
+    Rays (N,3); triangles gathered per chunk (C,3,3); the (N,C) test is pure
+    vectorized VPU work.  Gradients are stopped — the differentiable path is
+    ``compute_surface_interaction``.
+    """
+    o = jax.lax.stop_gradient(ray.o)
+    d = jax.lax.stop_gradient(ray.d)
+    verts = jax.lax.stop_gradient(vertices)
+    nf = faces.shape[0]
+    n = o.shape[0]
+    nchunks = max(1, -(-nf // chunk))
+    pad = nchunks * chunk - nf
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0
+    ) if pad else faces
+    tri_valid = jnp.arange(nchunks * chunk) < nf
+
+    p0 = verts[faces_p[:, 0]].reshape(nchunks, chunk, 3)
+    p1 = verts[faces_p[:, 1]].reshape(nchunks, chunk, 3)
+    p2 = verts[faces_p[:, 2]].reshape(nchunks, chunk, 3)
+    tv = tri_valid.reshape(nchunks, chunk)
+
+    def body(carry, tri_chunk):
+        best_t, best_uv, best_idx = carry
+        cp0, cp1, cp2, cvalid, base = tri_chunk
+        t, u, v, hit = moeller_trumbore(
+            o[:, None, :], d[:, None, :], cp0[None], cp1[None], cp2[None]
+        )  # (N, C)
+        hit = hit & cvalid[None, :] & (t > 1e-6) & (t < ray.maxt[:, None])
+        t = jnp.where(hit, t, jnp.inf)
+        amin = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, amin[:, None], 1)[:, 0]
+        closer = tmin < best_t
+        new_t = jnp.where(closer, tmin, best_t)
+        uvs = jnp.stack(
+            [jnp.take_along_axis(u, amin[:, None], 1)[:, 0],
+             jnp.take_along_axis(v, amin[:, None], 1)[:, 0]], -1
+        )
+        new_uv = jnp.where(closer[:, None], uvs, best_uv)
+        new_idx = jnp.where(closer, base + amin.astype(jnp.int32), best_idx)
+        return (new_t, new_uv, new_idx), None
+
+    init = (
+        jnp.full((n,), jnp.inf, o.dtype),
+        jnp.zeros((n, 2), o.dtype),
+        jnp.full((n,), -1, jnp.int32),
+    )
+    bases = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
+    (t, uv, idx), _ = jax.lax.scan(body, init, (p0, p1, p2, tv, bases))
+    valid = idx >= 0
+    return PreliminaryIntersection(
+        t=t, prim_uv=uv, prim_index=jnp.maximum(idx, 0), valid=valid
+    )
+
+
+def ray_test_brute(ray: Ray, vertices, faces, chunk: int = 512) -> jnp.ndarray:
+    """Any-hit (shadow ray) test: True where occluded."""
+    o = jax.lax.stop_gradient(ray.o)
+    d = jax.lax.stop_gradient(ray.d)
+    verts = jax.lax.stop_gradient(vertices)
+    nf = faces.shape[0]
+    nchunks = max(1, -(-nf // chunk))
+    pad = nchunks * chunk - nf
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0
+    ) if pad else faces
+    tri_valid = (jnp.arange(nchunks * chunk) < nf).reshape(nchunks, chunk)
+    p0 = verts[faces_p[:, 0]].reshape(nchunks, chunk, 3)
+    p1 = verts[faces_p[:, 1]].reshape(nchunks, chunk, 3)
+    p2 = verts[faces_p[:, 2]].reshape(nchunks, chunk, 3)
+
+    def body(carry, tri_chunk):
+        cp0, cp1, cp2, cvalid = tri_chunk
+        t, u, v, hit = moeller_trumbore(
+            o[:, None, :], d[:, None, :], cp0[None], cp1[None], cp2[None]
+        )
+        hit = hit & cvalid[None, :] & (t > 1e-6) & (t < ray.maxt[:, None])
+        return carry | jnp.any(hit, axis=1), None
+
+    occluded, _ = jax.lax.scan(
+        body, jnp.zeros((o.shape[0],), jnp.bool_), (p0, p1, p2, tri_valid)
+    )
+    return occluded
+
+
+def compute_surface_interaction(
+    scene, ray: Ray, pi: PreliminaryIntersection,
+    ray_flags: int = RayFlags.All,
+) -> SurfaceInteraction:
+    """Differentiable SurfaceInteraction from a detached hit record.
+
+    Mirrors mesh.cpp:640-830 including the EPSM per-hit fields and the
+    FollowShape / DetachShape gradient semantics:
+
+    * default: (t, u, v) get gradients from Möller-Trumbore re-derivation
+      (``replace_grad``), so si.p tracks both ray and vertex motion;
+    * DetachShape: triangle vertices are detached — si.p only tracks the ray;
+    * FollowShape: barycentrics are detached — si.p rigidly follows the
+      triangle (used for diffuse-receiver gradients, epsm.py:561-562).
+    """
+    fidx = pi.prim_index
+    f = scene.faces[fidx]                       # (N,3)
+    p0 = scene.vertices[f[:, 0]]
+    p1 = scene.vertices[f[:, 1]]
+    p2 = scene.vertices[f[:, 2]]
+
+    if ray_flags & RayFlags.DetachShape:
+        p0 = jax.lax.stop_gradient(p0)
+        p1 = jax.lax.stop_gradient(p1)
+        p2 = jax.lax.stop_gradient(p2)
+
+    t = pi.t
+    u = pi.prim_uv[:, 0]
+    v = pi.prim_uv[:, 1]
+    if not (ray_flags & RayFlags.FollowShape):
+        t_d, u_d, v_d, _ = moeller_trumbore(ray.o, ray.d, p0, p1, p2)
+        t = replace_grad(t, t_d)
+        u = replace_grad(u, u_d)
+        v = replace_grad(v, v_d)
+    else:
+        t = jax.lax.stop_gradient(t)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+
+    b1 = u
+    b2 = v
+    b0 = 1.0 - u - v
+
+    p = p0 * b0[:, None] + p1 * b1[:, None] + p2 * b2[:, None]
+
+    if ray_flags & RayFlags.FollowShape:
+        # recompute distance so t tracks the moving shape (mesh.cpp:723-725)
+        t = jnp.sqrt(m.squared_norm(p - ray.o) / jnp.maximum(m.squared_norm(ray.d), 1e-20))
+
+    # geometric normal
+    ng = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+
+    # shading normals: interpolated vertex normals where available
+    n0 = scene.normals[f[:, 0]]
+    n1 = scene.normals[f[:, 1]]
+    n2 = scene.normals[f[:, 2]]
+    if ray_flags & RayFlags.DetachShape:
+        n0 = jax.lax.stop_gradient(n0)
+        n1 = jax.lax.stop_gradient(n1)
+        n2 = jax.lax.stop_gradient(n2)
+    has_n = m.squared_norm(n0) > 1e-12
+    n0 = jnp.where(has_n[:, None], n0, ng)
+    n1 = jnp.where(has_n[:, None], n1, ng)
+    n2 = jnp.where(has_n[:, None], n2, ng)
+    ns = n0 * b0[:, None] + n1 * b1[:, None] + n2 * b2[:, None]
+    ns = ns * m.safe_rsqrt(m.squared_norm(ns))[:, None]
+
+    # uv texture coords
+    uv0 = scene.uvs[f[:, 0]]
+    uv1 = scene.uvs[f[:, 1]]
+    uv2 = scene.uvs[f[:, 2]]
+    uv = uv0 * b0[:, None] + uv1 * b1[:, None] + uv2 * b2[:, None]
+
+    sh_s, sh_t = m.coordinate_system(ns)
+
+    shape_idx = scene.face_shape[fidx]
+    bsdf_idx = scene.shape_bsdf[shape_idx]
+    emitter_idx = scene.shape_emitter[shape_idx]
+
+    wi_world = -ray.d
+    wi = m.to_local(ns, sh_s, sh_t, wi_world)
+
+    inf = jnp.inf
+    valid = pi.valid
+    si = SurfaceInteraction(
+        t=jnp.where(valid, t, inf),
+        p=p,
+        n=ng,
+        sh_n=ns,
+        sh_s=sh_s,
+        sh_t=sh_t,
+        uv=uv,
+        wi=wi,
+        prim_index=fidx,
+        shape_index=jnp.where(valid, shape_idx, -1),
+        bsdf_index=jnp.where(valid, bsdf_idx, -1),
+        emitter_index=jnp.where(valid, emitter_idx, -1),
+        valid=valid,
+        b0=b0,
+        b1=b1,
+        p0=p0,
+        p1=p1,
+        p2=p2,
+        n0=n0,
+        n1=n1,
+        n2=n2,
+        ismesh=valid.astype(p.dtype),
+    )
+    return si
