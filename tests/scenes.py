@@ -80,8 +80,9 @@ def single_quad_direct(res: int = 32, spp: int = 8, albedo=(0.6, 0.4, 0.2)):
         "sensor": {
             "type": "perspective",
             "fov": 45.0,
-            "to_world": T.look_at(origin=[0, 0, 4], target=[0, 0, 0],
-                                  up=[0, 1, 0]),
+            # oblique view so the emitter quad doesn't occlude the receiver
+            "to_world": T.look_at(origin=[0, -3, 3], target=[0, 0, 0],
+                                  up=[0, 0, 1]),
             "film": {"type": "hdrfilm", "width": res, "height": res,
                      "rfilter": {"type": "box"}},
             "sampler": {"type": "independent", "sample_count": spp},
