@@ -1,0 +1,779 @@
+"""EPSM manifold integrators — ``manifold`` and ``manifold_caustic``.
+
+TPU-native reimplementation of the reference's research layer
+(src/python/python/ad/integrators/epsm.py):
+
+ * ``render_epsm``        — primal render + two zero "position" channels
+                            -> (H, W, 5) image (epsm.py:13-82).
+ * ``sample_path_logged`` — path tracer recording per-bounce manifold data
+                            for <=5 bounces (epsm.py:503-742, logs :648-654).
+ * ``calc_grad``          — the extended-path-space-manifold constraint
+                            system (epsm.py:745-946; caustic :951-1200).
+                            The reference assembles the banded Jacobian with
+                            a Python loop of per-scalar-row
+                            ``loss.backward(retain_graph=True)`` calls and
+                            inverts per-ray matrices with torch; here every
+                            constraint row pair is a closed-form residual
+                            differentiated with one vmapped ``jax.jacrev``
+                            and the block systems are batched
+                            ``jnp.linalg.inv`` over (N, 2id, 2id) — removing
+                            the reference's biggest bottleneck.
+ * ``render_backward``    — image-position gradients -> ray-direction
+                            gradients via ray differentials (epsm.py:249-257),
+                            jvp through the first intersection (:263-274),
+                            calc_grad, then gradient injection by *scatter*
+                            into vertex positions / normals / roughness /
+                            emitter geometry using the logged hit topology —
+                            no second trace (the reference re-traces the
+                            whole wavefront, epsm.py:282-297).
+
+Parameter bookkeeping mirrors the reference's ``param_list`` exactly:
+5 parameters per logged bounce — p0, p1, p2 (triangle vertices), n
+(interpolated shading normal as an independent variable), m (half vector) —
+plus a light point per bounce; each owns a (N, 2K) bank of constraint-row
+Jacobians (``param_grad_list``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..integrators import common, path as P
+from ..models import bsdf as B
+from ..models import films, samplers as smp
+from ..models.records import Ray, RayFlags
+from ..ops import intersect as I
+
+K_LOG = 5  # logged bounces (epsm.py:648 ``iteration < 5``)
+
+
+# ---------------------------------------------------------------------------
+# torch-style local frame of the reference constraint (epsm.py:746-756)
+# ---------------------------------------------------------------------------
+
+def _constraint_frame(n):
+    """Rows (tangent, bitangent, normal); tangent = normalize([0,-nz,ny])."""
+    nn = n * m.safe_rsqrt(m.squared_norm(n))[..., None]
+    t = jnp.stack([jnp.zeros_like(nn[..., 0]), -nn[..., 2], nn[..., 1]], -1)
+    t = t * m.safe_rsqrt(jnp.maximum(m.squared_norm(t), 1e-12))[..., None]
+    b = jnp.cross(nn, t)
+    return t, b, nn
+
+
+def to_constraint_local(n, v):
+    t, b, nn = _constraint_frame(n)
+    return jnp.stack([m.dot(v, t), m.dot(v, b), m.dot(v, nn)], -1)
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: logged path sampling
+# ---------------------------------------------------------------------------
+
+class PathLog(NamedTuple):
+    """Per-bounce logs, leading dim (K, N, ...) (epsm.py:648-654 + extra
+    topology so gradient injection can scatter instead of re-trace)."""
+    active: jnp.ndarray        # (K, N) active & si.valid
+    bsdf_flags: jnp.ndarray    # (K, N) uint32
+    bsdf_index: jnp.ndarray    # (K, N)
+    ismesh: jnp.ndarray        # (K, N)
+    light: jnp.ndarray         # (K, N, 3) NEE sampled position ds.p
+    active_em: jnp.ndarray     # (K, N)
+    p0: jnp.ndarray            # (K, N, 3)
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    p: jnp.ndarray
+    b0: jnp.ndarray            # (K, N)
+    b1: jnp.ndarray
+    normal: jnp.ndarray        # (K, N, 3) sh_frame.n
+    n0: jnp.ndarray            # (K, N, 3)
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    eta: jnp.ndarray           # (K, N)
+    hf: jnp.ndarray            # (K, N, 3) microfacet normal, constraint frame
+    prim_index: jnp.ndarray    # (K, N)
+    lr_dir: jnp.ndarray        # (K, N, 3) NEE contribution
+    em_prim: jnp.ndarray       # (K, N) NEE shadow-ray hit triangle
+    em_b0: jnp.ndarray         # (K, N)
+    em_b1: jnp.ndarray
+    em_hit_valid: jnp.ndarray  # (K, N)
+    em_dist_ratio: jnp.ndarray  # (K, N) |hit-ds.p|/|si.p-ds.p| (epsm.py:614)
+    wi_local: jnp.ndarray      # (K, N, 3) for hf replay (alpha grads)
+    s2_bsdf: jnp.ndarray       # (K, N, 2) bsdf-sample randoms
+
+
+def sample_path_logged(scene, sampler, ray: Ray, max_depth: int,
+                       rr_depth: int):
+    """Primal trace recording manifold data (epsm.py:503-742, Primal mode),
+    mirroring the reference RNG consumption incl. the double detached +
+    attached BSDF sampling draws (epsm.py:633-643)."""
+    n = ray.o.shape[0]
+    st = P.init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    scene_d = jax.lax.stop_gradient(scene)
+    k_log = min(max_depth, K_LOG)
+
+    def body(st, _):
+        ray_b = Ray.make(st.ray_o, st.ray_d)
+        pi = scene_d.ray_intersect_preliminary(ray_b)
+        pi = pi.replace(valid=pi.valid & st.active)
+        si = I.compute_surface_interaction(scene_d, ray_b, pi, RayFlags.All)
+
+        le = st.beta * P._emitter_hit_le(
+            scene_d, si, st.ray_d, st.prev_p, st.prev_bsdf_pdf,
+            st.prev_bsdf_delta, st.active,
+        )
+
+        bsdf_flags = B.flags_of(scene_d.bsdfs, si.bsdf_index)
+        active_next = (st.depth + 1 < max_depth) & si.valid & st.active
+        active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
+
+        sampler, ds, lr_dir, active_em2 = P._nee(scene_d, si, st.sampler,
+                                                 active_em)
+        lr_dir = st.beta * lr_dir
+
+        # NEE shadow-ray hit topology (ray_direct FollowShape analog,
+        # epsm.py:609-627)
+        ray_direct = si.spawn_ray(ds.d)
+        pi_dir = scene_d.ray_intersect_preliminary(ray_direct)
+        f_dir = scene_d.faces[pi_dir.prim_index]
+        b0d = 1.0 - pi_dir.prim_uv[:, 0] - pi_dir.prim_uv[:, 1]
+        hp = (scene_d.vertices[f_dir[:, 0]] * b0d[:, None]
+              + scene_d.vertices[f_dir[:, 1]] * pi_dir.prim_uv[:, 0][:, None]
+              + scene_d.vertices[f_dir[:, 2]] * pi_dir.prim_uv[:, 1][:, None])
+        denom = jnp.maximum(m.norm(ds.p - si.p), 1e-12)
+        dis_ratio = m.norm(ds.p - hp) / denom
+        dis_ratio = jnp.where(dis_ratio < 0.01, 0.0, dis_ratio)
+
+        # detached + attached BSDF sampling: two draws (epsm.py:633-643)
+        sampler, _s1_det = smp.next_1d(sampler)
+        sampler, _s2_det = smp.next_2d(sampler)
+        sampler, s1 = smp.next_1d(sampler)
+        sampler, s2 = smp.next_2d(sampler)
+        bs, bsdf_weight, ok = B.sample(
+            scene_d.bsdfs, scene_d.static.bsdf_kinds, si.bsdf_index, si.wi,
+            s1, s2, active_next,
+        )
+
+        L = st.L + jnp.where(st.active[..., None], le + lr_dir, 0.0)
+        wo_world = si.to_world(bs.wo)
+        new_ray = si.spawn_ray(wo_world)
+        eta = st.eta * jnp.where(ok, bs.eta, 1.0)
+        beta = st.beta * jnp.where(ok[..., None], bsdf_weight, 0.0)
+
+        beta_max = jnp.max(beta, axis=-1)
+        active_next = active_next & (beta_max != 0.0)
+        rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+        rr_active = st.depth >= rr_depth
+        beta = jnp.where(rr_active[..., None],
+                         beta / jnp.maximum(rr_prob, 1e-8)[..., None], beta)
+        sampler, rr_u = smp.next_1d(sampler)
+        active_next = active_next & (~rr_active | (rr_u < rr_prob))
+
+        depth = st.depth + si.valid.astype(st.depth.dtype)
+        new_st = P.LoopState(
+            sampler=sampler, ray_o=new_ray.o, ray_d=new_ray.d, depth=depth,
+            L=L, beta=beta, eta=eta, active=active_next,
+            prev_p=si.p, prev_bsdf_pdf=bs.pdf,
+            prev_bsdf_delta=B.has_flag(bs.sampled_type, B.BSDFFlags.Delta),
+        )
+        # half-vector into the constraint frame of the logged normal so the
+        # residual comparison is frame-consistent (the reference compares a
+        # mitsuba-frame hf against a torch-frame residual; we keep both in
+        # the constraint frame)
+        hf_world = si.to_world(bs.hf)
+        hf_con = to_constraint_local(si.sh_n, hf_world)
+        log = PathLog(
+            active=st.active & si.valid,
+            bsdf_flags=bsdf_flags,
+            bsdf_index=si.bsdf_index,
+            ismesh=si.ismesh,
+            light=ds.p,
+            active_em=active_em2,
+            p0=si.p0, p1=si.p1, p2=si.p2, p=si.p,
+            b0=si.b0, b1=si.b1,
+            normal=si.sh_n, n0=si.n0, n1=si.n1, n2=si.n2,
+            eta=bs.eta,
+            hf=hf_con,
+            prim_index=si.prim_index,
+            lr_dir=lr_dir,
+            em_prim=pi_dir.prim_index,
+            em_b0=b0d,
+            em_b1=pi_dir.prim_uv[:, 0],
+            em_hit_valid=pi_dir.valid,
+            em_dist_ratio=dis_ratio,
+            wi_local=si.wi,
+            s2_bsdf=s2,
+        )
+        return new_st, log
+
+    st, logs = jax.lax.scan(body, st, None, length=max_depth)
+    logs = jax.tree.map(lambda x: x[:k_log], logs)
+    return st.L, st.depth > 0, logs
+
+
+# ---------------------------------------------------------------------------
+# Constraint residuals + Jacobians
+# ---------------------------------------------------------------------------
+
+def _residual(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next, dn, light,
+              n012_cur, eta_cur, cam, use_light: bool, first: bool,
+              detach_frame: bool, position_row: bool):
+    """Closed-form half-vector residual of one bounce (epsm.py:809-821).
+
+    ``dn`` is a zero input whose Jacobian equals ∂c/∂n for the independent
+    interpolated-normal parameter (reference ``add(n)``, epsm.py:813-816);
+    uv Jacobians automatically include the path through the interpolated
+    normal, matching torch's non-leaf accumulation.
+    ``position_row``: the caustic ``wo2 - detach(wo2)`` row (epsm.py:1028) —
+    Jacobian of wo2 alone.
+    """
+    def interp(Pm, uv):
+        return Pm[0] * uv[0] + Pm[1] * uv[1] + Pm[2] * (1.0 - uv[0] - uv[1])
+
+    point_prev = cam if first else interp(P_prev, uv_prev)
+    point_cur = interp(P_cur, uv_cur)
+    point_next = light if use_light else interp(P_next, uv_next)
+
+    wi = point_prev - point_cur
+    wo = point_next - point_cur
+    wi = wi * m.safe_rsqrt(m.squared_norm(wi))
+    wo = wo * m.safe_rsqrt(m.squared_norm(wo))
+
+    nvec = (n012_cur[0] * uv_cur[0] + n012_cur[1] * uv_cur[1]
+            + n012_cur[2] * (1.0 - uv_cur[0] - uv_cur[1])) + dn
+    if detach_frame:
+        nvec = jax.lax.stop_gradient(nvec)
+    t, b, nn = _constraint_frame(nvec)
+    wi2 = jnp.stack([m.dot(wi, t), m.dot(wi, b), m.dot(wi, nn)], -1)
+    wo2 = jnp.stack([m.dot(wo, t), m.dot(wo, b), m.dot(wo, nn)], -1)
+    if position_row:
+        return wo2[:2]
+    res = wi2 + wo2 * eta_cur
+    res = res * m.safe_rsqrt(m.squared_norm(res))
+    return res[:2]
+
+
+def _row_jacobians(logs: PathLog, cam, k: int, use_light: bool,
+                   detach_frame: bool, position_row: bool):
+    """Vmapped jacrev of bounce-``k`` residual. Returns dict of (N,2,...)."""
+    first = k == 0
+    K, N = logs.b0.shape
+
+    def res_fn(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next, dn, light,
+               n012, eta, cam1):
+        return _residual(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next,
+                         dn, light, n012, eta, cam1, use_light, first,
+                         detach_frame, position_row)
+
+    jac = jax.vmap(jax.jacrev(res_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7)))
+
+    z2 = jnp.zeros((N, 2))
+    z33 = jnp.zeros((N, 3, 3))
+    uv_prev = jnp.stack([logs.b0[k - 1], logs.b1[k - 1]], -1) if k > 0 else z2
+    uv_cur = jnp.stack([logs.b0[k], logs.b1[k]], -1)
+    has_next = (k + 1) < K
+    uv_next = (jnp.stack([logs.b0[k + 1], logs.b1[k + 1]], -1)
+               if has_next else z2)
+    P_prev = (jnp.stack([logs.p0[k - 1], logs.p1[k - 1], logs.p2[k - 1]], 1)
+              if k > 0 else z33)
+    P_cur = jnp.stack([logs.p0[k], logs.p1[k], logs.p2[k]], 1)
+    P_next = (jnp.stack([logs.p0[k + 1], logs.p1[k + 1], logs.p2[k + 1]], 1)
+              if has_next else z33)
+    n012 = jnp.stack([logs.n0[k], logs.n1[k], logs.n2[k]], 1)
+
+    j_uv_prev, j_uv_cur, j_uv_next, j_Pp, j_Pc, j_Pn, j_dn, j_light = jac(
+        uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next, jnp.zeros((N, 3)),
+        logs.light[k], n012, logs.eta[k], jnp.broadcast_to(cam, (N, 3)),
+    )
+    # hf enters as ``res - m``: ∂/∂m = -I (epsm.py:883); value irrelevant
+    if (not use_light) and (not position_row):
+        j_m = -jnp.broadcast_to(jnp.eye(2, 3), (N, 2, 3))
+    else:
+        j_m = jnp.zeros((N, 2, 3))
+    # ∂c/∂(interpolated next point): interp is linear, so a uniform shift of
+    # all three next vertices shifts the point identically
+    j_point_next = jnp.sum(j_Pn, axis=2)
+    return {
+        "uv_prev": j_uv_prev, "uv_cur": j_uv_cur, "uv_next": j_uv_next,
+        "P_prev": j_Pp, "P_cur": j_Pc, "P_next": j_Pn,
+        "dn": j_dn, "m_hf": j_m, "light": j_light,
+        "point_next": j_point_next,
+    }
+
+
+# ---------------------------------------------------------------------------
+# calc_grad — the manifold solve
+# ---------------------------------------------------------------------------
+
+class _ParamBank:
+    """Mirror of the reference's param_list/param_grad_list: per parameter a
+    (N, 2K, C) bank of constraint-row Jacobians (epsm.py:764-769)."""
+
+    def __init__(self, K: int, N: int):
+        self.K, self.N = K, N
+        self.rows = {}   # name -> (N, 2K, 3)
+        self.grads = {}  # name -> (N, 3) accumulated dL/dθ
+
+    def ensure(self, name):
+        if name not in self.rows:
+            self.rows[name] = jnp.zeros((self.N, 2 * self.K, 3))
+            self.grads[name] = jnp.zeros((self.N, 3))
+
+    def set_rows(self, name, k, jacs):
+        """Write row pair of bounce k with (N,2,3) jacobian."""
+        self.ensure(name)
+        self.rows[name] = self.rows[name].at[:, 2 * k:2 * k + 2, :].set(jacs)
+
+    def set_rows_masked(self, name, k, jacs, mask):
+        self.ensure(name)
+        old = self.rows[name][:, 2 * k:2 * k + 2, :]
+        self.rows[name] = self.rows[name].at[:, 2 * k:2 * k + 2, :].set(
+            jnp.where(mask[:, None, None], jacs, old))
+
+    def zero_rows_masked(self, k, mask):
+        for name in self.rows:
+            old = self.rows[name][:, 2 * k:2 * k + 2, :]
+            self.rows[name] = self.rows[name].at[:, 2 * k:2 * k + 2, :].set(
+                jnp.where(mask[:, None, None], 0.0, old))
+
+    def chain_all(self, A, n_sys, mask):
+        """grads[name] += mask * (-A · rows[:, :n_sys]) (epsm.py:849-857)."""
+        for name, rows in self.rows.items():
+            g = -jnp.einsum("nr,nrc->nc", A, rows[:, :n_sys])
+            g = jnp.nan_to_num(g)
+            self.grads[name] = self.grads[name] + jnp.where(
+                mask[:, None], g, 0.0)
+
+
+def _write_C_rows(C, k, jac, K, N):
+    """Row pair 2k..2k+1; column block of uv_j (0-based j) at 2j+2..2j+3,
+    matching the reference layout where the solve slices cols 2:2id+2."""
+    r = 2 * k
+    if k > 0:
+        C = jax.lax.dynamic_update_slice(C, jac["uv_prev"], (0, r, 2 * k))
+    C = jax.lax.dynamic_update_slice(C, jac["uv_cur"], (0, r, 2 * k + 2))
+    if k + 1 < K:
+        C = jax.lax.dynamic_update_slice(C, jac["uv_next"], (0, r, 2 * k + 4))
+    return C
+
+
+def _write_C_rows_masked(C, row_k, jac_row, col_k, K, N, mask):
+    """Caustic substitution: zero row pair ``row_k`` and write the position
+    row of bounce ``col_k`` into it (epsm.py:1053-1056), per-ray mask."""
+    r = 2 * row_k
+    w = C.shape[-1]
+    row_block = jnp.zeros((N, 2, w))
+    row_block = jax.lax.dynamic_update_slice(
+        row_block, jac_row["uv_cur"], (0, 0, 2 * col_k + 2))
+    if col_k + 1 < K:
+        row_block = jax.lax.dynamic_update_slice(
+            row_block, jac_row["uv_next"], (0, 0, 2 * col_k + 4))
+    old = jax.lax.dynamic_slice(C, (0, r, 0), (C.shape[0], 2, w))
+    return jax.lax.dynamic_update_slice(
+        C, jnp.where(mask[:, None, None], row_block, old), (0, r, 0))
+
+
+def calc_grad(logs: PathLog, dlduv1, dldp1, cam, caustic: bool):
+    """ManifoldIntegrator.calc_grad (epsm.py:745-946) / caustic (:951-1200).
+
+    dlduv1: (N, 2K) with only the first two entries nonzero (dL/db0, dL/db1
+    at the first hit); dldp1: (N,3) dL/dp at the first hit.
+
+    Returns (path_grad (K,5,N,3): [p0,p1,p2,n,m(constraint frame)] per
+    bounce, light_grad (K,N,3), diffuse_grad (K,N,3)).
+    """
+    K, N = logs.b0.shape
+    f32 = logs.b0.dtype
+
+    isdiffuse = B.has_flag(logs.bsdf_flags, B.BSDFFlags.Diffuse)
+    isnull = B.has_flag(logs.bsdf_flags, B.BSDFFlags.Null)
+    hasdiffuse = jnp.cumsum(isdiffuse.astype(f32), axis=0)  # incl. current
+    valid_chain = (jnp.cumprod((logs.ismesh > 0).astype(f32), axis=0)
+                   * (hasdiffuse < 2)) > 0
+    bounce_ids = jnp.arange(1, K + 1, dtype=f32)[:, None]
+    diffuse_pos = jnp.where(
+        jnp.any(isdiffuse, 0),
+        jnp.max(jnp.where(isdiffuse, bounce_ids, 0.0), axis=0), 0.0)
+
+    if caustic:
+        # caustic zeroes both dldp and dlduv for non-diffuse first hits
+        # (epsm.py:998-999)
+        dlduv1 = jnp.where(isdiffuse[0][:, None], dlduv1, 0.0)
+    dldp_first = jnp.where(isdiffuse[0][:, None], dldp1, 0.0)
+
+    # caustic detaches the frame in the light-row section (epsm.py:1022)
+    # but keeps it attached in the bsdf-row section (epsm.py:1111)
+    jac_light = [_row_jacobians(logs, cam, k, True, caustic, False)
+                 for k in range(K)]
+    jac_bsdf = [_row_jacobians(logs, cam, k, False, False, False)
+                for k in range(K)]
+    if caustic:
+        jac_pos_l = [_row_jacobians(logs, cam, k, True, True, True)
+                     for k in range(K)]
+        jac_pos_b = [_row_jacobians(logs, cam, k, False, False, True)
+                     for k in range(K)]
+
+    bank = _ParamBank(K, N)
+    light_grad = jnp.zeros((K, N, 3), f32)
+    diffuse_grad = jnp.zeros((K, N, 3), f32)
+    diffuse_grad = diffuse_grad.at[0].set(dldp_first)
+
+    def p_names(k):
+        return [f"p0_{k}", f"p1_{k}", f"p2_{k}", f"n_{k}", f"m_{k}"]
+
+    def write_param_rows(k, jac, masked=None):
+        """Write bounce-k row pair for all parameters it touches."""
+        def setter(name, block):
+            if masked is None:
+                bank.set_rows(name, k, block)
+            else:
+                bank.set_rows_masked(name, k, block, masked)
+        if k > 0:
+            for v in range(3):
+                setter(f"p{v}_{k - 1}", jac["P_prev"][:, :, v, :])
+        for v in range(3):
+            setter(f"p{v}_{k}", jac["P_cur"][:, :, v, :])
+        if k + 1 < K:
+            for v in range(3):
+                setter(f"p{v}_{k + 1}", jac["P_next"][:, :, v, :])
+        setter(f"n_{k}", jac["dn"])
+        setter(f"m_{k}", jac["m_hf"])
+
+    def caustic_sub(C, jac_pos, k, local_rows=None, local_key=None):
+        """Replace rows of diffuse vertices j<=k+1 with position rows of
+        the current bounce (epsm.py:1051-1066).  ``local_rows``/``local_key``
+        optionally substitute a solve-local row bank (light / point)."""
+        for j in range(1, k + 2):
+            mask = diffuse_pos == j
+            C = _write_C_rows_masked(C, j - 1, jac_pos[k], k, K, N, mask)
+            bank.zero_rows_masked(j - 1, mask)
+            jp = jac_pos[k]
+            for v in range(3):
+                bank.set_rows_masked(f"p{v}_{k}", j - 1,
+                                     jp["P_cur"][:, :, v, :], mask)
+            if k + 1 < K:
+                for v in range(3):
+                    bank.set_rows_masked(f"p{v}_{k + 1}", j - 1,
+                                         jp["P_next"][:, :, v, :], mask)
+            if local_rows is not None:
+                r = 2 * (j - 1)
+                old = local_rows[:, r:r + 2]
+                local_rows = local_rows.at[:, r:r + 2].set(
+                    jnp.where(mask[:, None, None], jp[local_key], old))
+        return C, local_rows
+
+    # columns laid out as the reference: uv of bounce j (1-based) at cols
+    # 2j..2j+1, so width 2(K+1) (path_info[0] is the camera entry)
+    C = jnp.zeros((N, 2 * K + 2, 2 * K + 2), f32)
+    eyeK = jnp.eye(2 * K, dtype=f32)
+
+    for k in range(K):
+        id1 = k + 1
+        n_sys = 2 * id1
+        nolight = ~logs.active_em[k]
+        act_k = logs.active[k]
+
+        # ensure this bounce's params exist (mirrors add() order)
+        for nm in p_names(k):
+            bank.ensure(nm)
+
+        # ============ light-row solve (epsm.py:803-866) ============
+        C = _write_C_rows(C, k, jac_light[k], K, N)
+        write_param_rows(k, jac_light[k])
+        # light point rows are solve-local (param_light_grad, epsm.py:808)
+        light_rows = jnp.zeros((N, 2 * K, 3), f32)
+        light_rows = light_rows.at[:, 2 * k:2 * k + 2].set(
+            jac_light[k]["light"])
+        if caustic:
+            C, light_rows = caustic_sub(C, jac_pos_l, k, light_rows, "light")
+
+        bad = (~valid_chain[k]) | (~act_k) | nolight
+        cur = C[:, :n_sys, 2:2 + n_sys]
+        eye = jnp.broadcast_to(eyeK[:n_sys, :n_sys], (N, n_sys, n_sys))
+        cur = jnp.where(bad[:, None, None], eye, cur)
+        cinv = jnp.linalg.inv(cur)
+        A = jnp.einsum("nj,njk->nk", dlduv1[:, :n_sys], cinv)
+
+        mask_l = (~bad) & (hasdiffuse[k] == 0)
+        bank.chain_all(A, n_sys, mask_l)
+        g_light = -jnp.einsum("nr,nrc->nc", A, light_rows[:, :n_sys])
+        light_grad = light_grad.at[k].set(
+            jnp.where(mask_l[:, None], jnp.nan_to_num(g_light), 0.0))
+
+        # ============ bsdf-row solve (epsm.py:868-930) ============
+        if k + 1 < K:
+            C = _write_C_rows(C, k, jac_bsdf[k], K, N)
+            write_param_rows(k, jac_bsdf[k])
+            # next-point rows are solve-local (param_diffuse_grad, :884)
+            point_rows = jnp.zeros((N, 2 * K, 3), f32)
+            point_rows = point_rows.at[:, 2 * k:2 * k + 2].set(
+                jac_bsdf[k]["point_next"])
+            if caustic:
+                C, point_rows = caustic_sub(C, jac_pos_b, k, point_rows,
+                                            "point_next")
+
+            act_next = logs.active[k + 1]
+            bad_b = (~valid_chain[k]) | (~act_next)
+            cur = C[:, :n_sys, 2:2 + n_sys]
+            cur = jnp.where(bad_b[:, None, None], eye, cur)
+            cinv = jnp.linalg.inv(cur)
+            A = jnp.einsum("nj,njk->nk", dlduv1[:, :n_sys], cinv)
+
+            next_diffuse = isdiffuse[k + 1]
+            if caustic:
+                mask_b = (~bad_b) & next_diffuse
+                mask_dp = (~bad_b) & (next_diffuse | isnull[k + 1])
+            else:
+                mask_b = (~bad_b) & next_diffuse & (hasdiffuse[k] == 0)
+                mask_dp = mask_b
+            bank.chain_all(A, n_sys, mask_b)
+            g_dp = -jnp.einsum("nr,nrc->nc", A, point_rows[:, :n_sys])
+            diffuse_grad = diffuse_grad.at[k + 1].add(
+                jnp.where(mask_dp[:, None], jnp.nan_to_num(g_dp), 0.0))
+
+    # collect per-bounce parameter grads + outlier clamp (epsm.py:932-944)
+    def clamp(g):
+        return jnp.where(jnp.abs(g) > 0.1, 0.0, g)
+
+    path_grad = jnp.stack([
+        jnp.stack([bank.grads[nm] for nm in p_names(k)], 0)
+        for k in range(K)
+    ], 0)  # (K, 5, N, 3)
+    return clamp(path_grad), clamp(light_grad), clamp(diffuse_grad)
+
+
+# ---------------------------------------------------------------------------
+# Gradient injection (pass 2 analog, epsm.py:282-297 & 555-645)
+# ---------------------------------------------------------------------------
+
+def inject_gradients(scene, logs: PathLog, path_grad, light_grad,
+                     diffuse_grad, grads):
+    """Accumulate manifold gradients into scene cotangents by scatter.
+
+    Replaces the reference's second traced pass + dr.backward calls:
+     * si.p0/p1/p2 * path_grad  -> scatter to faces[prim] vertices
+       (epsm.py:559-560)
+     * si_follow.p * diffuse_grad -> scatter b_k * g (epsm.py:561-562)
+     * si_follow.sh_frame.n * n_grad -> vjp of normalize∘interp to vertex
+       normals (epsm.py:644-645)
+     * bsdf hf * m_grad -> vjp of the attached GGX sample to roughness
+       alpha (epsm.py:644, roughconductor.cpp:255)
+     * si_direct.p * light_grad * |Lr_dir| -> scatter onto the NEE shadow
+       hit triangle (emitter geometry) (epsm.py:622-628)
+
+    ``grads``: dict with 'vertices' (V,3), 'normals' (V,3), 'alpha' (B,)
+    cotangent accumulators; returns updated dict.
+    """
+    K, N = logs.b0.shape
+    faces = scene.faces
+    g_v = grads["vertices"]
+    g_n = grads["normals"]
+    g_alpha = grads["alpha"]
+
+    for k in range(K):
+        act = logs.active[k]
+        f = faces[logs.prim_index[k]]  # (N, 3)
+
+        # triangle vertex grads
+        for v in range(3):
+            gv = jnp.where(act[:, None], path_grad[k, v], 0.0)
+            g_v = g_v.at[f[:, v]].add(gv)
+
+        # diffuse receiver point (FollowShape: detached barycentrics)
+        b0 = jax.lax.stop_gradient(logs.b0[k])
+        b1 = jax.lax.stop_gradient(logs.b1[k])
+        b2 = 1.0 - b0 - b1
+        gd = jnp.where(act[:, None], diffuse_grad[k], 0.0)
+        g_v = g_v.at[f[:, 0]].add(b0[:, None] * gd)
+        g_v = g_v.at[f[:, 1]].add(b1[:, None] * gd)
+        g_v = g_v.at[f[:, 2]].add(b2[:, None] * gd)
+
+        # shading-normal grad -> vertex normals through normalize∘interp
+        gn = jnp.where(act[:, None], path_grad[k, 3], 0.0)
+
+        def interp_normal(n012):
+            nvec = (n012[:, 0] * b0[:, None] + n012[:, 1] * b1[:, None]
+                    + n012[:, 2] * b2[:, None])
+            return nvec * m.safe_rsqrt(m.squared_norm(nvec))[:, None]
+
+        n012 = jnp.stack([logs.n0[k], logs.n1[k], logs.n2[k]], 1)
+        _, vjp_n = jax.vjp(interp_normal, n012)
+        (gn012,) = vjp_n(gn)
+        for v in range(3):
+            g_n = g_n.at[f[:, v]].add(gn012[:, v])
+
+        # half-vector grad -> roughness alpha via attached GGX re-sample
+        # (constraint frame -> mitsuba local frame first)
+        gm = jnp.where(act[:, None], path_grad[k, 4], 0.0)
+        t, b_, nn = _constraint_frame(logs.normal[k])
+        gm_world = (t * gm[:, 0:1] + b_ * gm[:, 1:2] + nn * gm[:, 2:3])
+        # world -> mitsuba shading frame of the logged hit
+        sh_s, sh_t = m.coordinate_system(logs.normal[k])
+        gm_local = jnp.stack([
+            m.dot(gm_world, sh_s), m.dot(gm_world, sh_t),
+            m.dot(gm_world, logs.normal[k])], -1)
+
+        from ..core import warp as W
+
+        def hf_of_alpha(alpha_n):
+            return W.ggx_visible_normal_sample(
+                logs.wi_local[k], logs.s2_bsdf[k], alpha_n, alpha_n)
+
+        alpha_n = scene.bsdfs["alpha"][jnp.maximum(logs.bsdf_index[k], 0)]
+        _, vjp_a = jax.vjp(hf_of_alpha, alpha_n)
+        (galpha,) = vjp_a(gm_local)
+        is_rough = ((logs.bsdf_flags[k] & jnp.uint32(B.BSDFFlags.Glossy))
+                    != 0)
+        galpha = jnp.where(act & is_rough, jnp.nan_to_num(galpha), 0.0)
+        g_alpha = g_alpha.at[jnp.maximum(logs.bsdf_index[k], 0)].add(galpha)
+
+        # light grads onto the NEE shadow-ray hit triangle, weighted by
+        # |Lr_dir| (epsm.py:626-627)
+        lw = jnp.sum(logs.lr_dir[k], axis=-1, keepdims=True)
+        gl = jnp.where((act & logs.em_hit_valid[k])[:, None],
+                       light_grad[k] * lw, 0.0)
+        fe = faces[logs.em_prim[k]]
+        eb0 = logs.em_b0[k][:, None]
+        eb1 = logs.em_b1[k][:, None]
+        eb2 = 1.0 - eb0 - eb1
+        g_v = g_v.at[fe[:, 0]].add(eb0 * gl)
+        g_v = g_v.at[fe[:, 1]].add(eb1 * gl)
+        g_v = g_v.at[fe[:, 2]].add(eb2 * gl)
+
+        # direct-shadow receiver grads for shallow paths (epsm.py:609-620)
+        if k == 0:
+            gd0 = jnp.where(
+                (act & logs.em_hit_valid[k])[:, None],
+                diffuse_grad[k] * logs.em_dist_ratio[k][:, None], 0.0)
+            # injected on the shadow-hit (FollowShape) triangle
+            g_v = g_v.at[fe[:, 0]].add(eb0 * gd0)
+            g_v = g_v.at[fe[:, 1]].add(eb1 * gd0)
+            g_v = g_v.at[fe[:, 2]].add(eb2 * gd0)
+
+    return {"vertices": g_v, "normals": g_n, "alpha": g_alpha}
+
+
+# ---------------------------------------------------------------------------
+# render_epsm: forward + custom_vjp
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth", "caustic",
+                                             "bwd_sensor_idx", "bwd_spp"))
+def render_epsm(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
+                max_depth: int = 6, rr_depth: int = 5,
+                caustic: bool = False, bwd_sensor_idx: int = -1,
+                bwd_spp: int = 8):
+    fn = _make_render_epsm(sensor_idx, spp, max_depth, rr_depth, caustic,
+                           bwd_sensor_idx, bwd_spp)
+    return fn(scene, jnp.asarray(seed, jnp.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render_epsm(sensor_idx, spp, max_depth, rr_depth, caustic,
+                      bwd_sensor_idx, bwd_spp):
+    @jax.custom_vjp
+    def render_fn(scene, seed):
+        return _primal(scene, seed)
+
+    def _primal(scene, seed):
+        """EPSM primal: 5-channel image (epsm.py:13-82)."""
+        sensor = scene.sensors[sensor_idx]
+        n = sensor.width * sensor.height * spp
+        sampler = smp.seed(seed, n)
+        sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+        L, valid = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+        value = L * weight
+        if sensor.rfilter == "box":
+            img = films.accumulate_coalesced(value, sensor.width,
+                                             sensor.height, spp)
+        else:
+            data, w = films.splat(pos, value, sensor.width, sensor.height,
+                                  sensor.rfilter)
+            img = films.develop(data, w)
+        zeros = jnp.zeros(img.shape[:-1] + (2,), img.dtype)
+        return jnp.concatenate([img, zeros], axis=-1)
+
+    def fwd(scene, seed):
+        return _primal(scene, seed), (scene, seed)
+
+    def bwd(res, g_img):
+        scene, seed = res
+        grads = render_backward(scene, g_img, seed, max_depth, rr_depth,
+                                caustic, bwd_sensor_idx, bwd_spp)
+        import numpy as np
+        return grads, np.zeros((), jax.dtypes.float0)
+
+    render_fn.defvjp(fwd, bwd)
+    return render_fn
+
+
+def render_backward(scene, grad_in, seed, max_depth, rr_depth, caustic,
+                    bwd_sensor_idx, bwd_spp):
+    """ManifoldIntegrator.render_backward (epsm.py:84-306) -> scene cotangent.
+
+    Uses the dedicated low-res backward sensor (the reference hard-codes
+    sensor index 2 / 128^2 / spp 8, epsm.py:142-145); falls back to the last
+    sensor in the scene."""
+    s_idx = bwd_sensor_idx if bwd_sensor_idx >= 0 else len(scene.sensors) - 1
+    sensor = scene.sensors[s_idx]
+    res_w, res_h = sensor.width, sensor.height
+    n = res_w * res_h * bwd_spp
+    sampler = smp.seed(seed, n)
+    sampler, ray, weight, pos = common.sample_rays(sensor, sampler, bwd_spp)
+
+    # PASS 1: logged primal (epsm.py:170-181)
+    L, valid, logs = sample_path_logged(scene, sampler, ray, max_depth,
+                                        rr_depth)
+
+    # position-channel grads -> ray-direction grads (epsm.py:249-257)
+    # grad_in may come at the forward sensor's resolution; crop to backward
+    # film (the reference crops, epsm.py:240)
+    g5 = grad_in[:res_h, :res_w, :]
+    lane_pix = jnp.arange(n) // bwd_spp
+    py = lane_pix // res_w
+    px = lane_pix % res_w
+    g_lane = g5[py, px]                      # (N, 5)
+    gx = g_lane[:, 3:4]
+    gy = g_lane[:, 4:5]
+    grad_d = (ray.d_x - ray.d) * gx + (ray.d_y - ray.d) * gy
+
+    # jvp through first intersection: dL/d(b0,b1), dL/dp (epsm.py:263-274)
+    pi0 = scene.ray_intersect_preliminary(ray)
+
+    def first_hit(d):
+        r = Ray.make(ray.o, d)
+        si = I.compute_surface_interaction(scene, r, pi0, RayFlags.All)
+        return si.b0, si.b1, si.p
+
+    _, (db0, db1, dp) = jax.jvp(first_hit, (ray.d,), (grad_d,))
+
+    K = logs.b0.shape[0]
+    dlduv1 = jnp.zeros((n, 2 * K), jnp.float32)
+    dlduv1 = dlduv1.at[:, 0].set(db0).at[:, 1].set(db1)
+
+    cam = ray.o[0]  # all camera rays share the origin (pinhole)
+
+    path_grad, light_grad, diffuse_grad = calc_grad(
+        logs, dlduv1, dp, cam, caustic)
+
+    # inject into scene cotangents (pass 2 analog)
+    acc = {
+        "vertices": jnp.zeros_like(scene.vertices),
+        "normals": jnp.zeros_like(scene.normals),
+        "alpha": jnp.zeros_like(scene.bsdfs["alpha"]),
+    }
+    acc = inject_gradients(scene, logs, path_grad, light_grad, diffuse_grad,
+                           acc)
+
+    # assemble full scene cotangent pytree
+    from ..ad.prb import zero_cotangent
+    g_scene = zero_cotangent(scene)
+    bsdf_tab = dict(g_scene.bsdfs)
+    bsdf_tab["alpha"] = acc["alpha"]
+    g_scene = g_scene.replace(
+        vertices=acc["vertices"], normals=acc["normals"], bsdfs=bsdf_tab)
+    return g_scene

@@ -1,0 +1,185 @@
+"""Multi-chip parallelism (SURVEY.md §2.6/§5 — the subsystem the reference
+lacks entirely: it is single-process single-GPU).
+
+Strategy (the scaling-book recipe):
+ * device mesh with one ``rays`` axis (ICI ring on a pod slice);
+ * **data parallelism over the ray/sample wavefront** — the natural and
+   only scale axis of a path tracer (rays are embarrassingly parallel);
+ * scene geometry + parameters **replicated** on every chip;
+ * each chip accumulates a partial film for its lane range; films are
+   reduced with ``psum`` over ICI; parameter gradients likewise.
+
+Per-lane RNG streams are seeded from *global* lane indices (TEA of the
+lane id, core/rng.py), so the distributed render is bitwise identical to
+the single-chip render for any mesh size.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import rng as _rng
+from ..integrators import path as P_
+from ..models import films
+from ..models import samplers as smp
+from ..models import sensors as sns
+from ..models.records import Ray
+
+
+def make_mesh(devices=None, axis: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _sample_rays_global(sensor, spp: int, seed, lane_offset, n_local: int):
+    """Camera rays for global lanes [lane_offset, lane_offset + n_local)."""
+    gidx = lane_offset + jnp.arange(n_local, dtype=jnp.uint32)
+    sv = jnp.asarray(seed, jnp.uint32)
+    v0, v1 = _rng.sample_tea_32(jnp.broadcast_to(sv, gidx.shape), gidx)
+    zero = jnp.zeros_like(gidx)
+    sampler = smp.Sampler(rng=_rng.pcg32_seed(zero, v0, zero, v1))
+
+    pix = gidx // jnp.uint32(spp)
+    pos_y = (pix // jnp.uint32(sensor.width)).astype(jnp.float32)
+    pos_x = (pix % jnp.uint32(sensor.width)).astype(jnp.float32)
+    sampler, jitter = smp.next_2d(sampler)
+    pos_f = jnp.stack([pos_x, pos_y], -1) + jitter
+    scale = jnp.array([1.0 / sensor.width, 1.0 / sensor.height], jnp.float32)
+    ray, weight = sns.sample_ray_differential(sensor, pos_f * scale)
+    splat_pos = (jnp.stack([pos_x, pos_y], -1)
+                 if sensor.rfilter == "box" else pos_f)
+    return sampler, ray, weight, splat_pos
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth", "mesh_holder"))
+def _render_dp_impl(scene, seed, sensor_idx, spp, max_depth, rr_depth,
+                    mesh_holder):
+    mesh = mesh_holder.mesh
+    sensor = scene.sensors[sensor_idx]
+    n_total = sensor.width * sensor.height * spp
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0, (
+        f"wavefront {n_total} not divisible by {n_dev} devices")
+    n_local = n_total // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P()),            # scene + seed replicated
+        out_specs=P(),                   # film psum-reduced -> replicated
+    )
+    def shard_render(scene, seed):
+        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
+        lane0 = shard * jnp.uint32(n_local)
+        sampler, ray, weight, pos = _sample_rays_global(
+            sensor, spp, seed, lane0, n_local)
+        L, valid = P_.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+        value = L * weight
+        # partial film for this shard's lanes (scatter into the full image;
+        # lanes are pixel-contiguous so this is a dense row range for the
+        # box filter, but we keep the general path) then psum over ICI.
+        if sensor.rfilter == "box":
+            pix = (lane0 + jnp.arange(n_local, dtype=jnp.uint32)) // jnp.uint32(spp)
+            flat = jnp.zeros((sensor.width * sensor.height, 3), value.dtype)
+            flat = flat.at[pix].add(value / spp)
+            img = flat.reshape(sensor.height, sensor.width, 3)
+        else:
+            data, w = films.splat(pos, value, sensor.width, sensor.height,
+                                  sensor.rfilter)
+            data = jax.lax.psum(data, "rays")
+            w = jax.lax.psum(w, "rays")
+            return films.develop(data, w)
+        return jax.lax.psum(img, "rays")
+
+    return shard_render(scene, jnp.asarray(seed, jnp.uint32))
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can live in a static jit arg."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshHolder) and hash(self) == hash(other)
+
+
+def render_data_parallel(scene, seed=0, sensor: int = 0, spp: int = 16,
+                         max_depth: int = 6, rr_depth: int = 5,
+                         mesh: Optional[Mesh] = None):
+    """Distributed primal render: bitwise-equal to the single-chip result."""
+    mesh = mesh if mesh is not None else make_mesh()
+    return _render_dp_impl(scene, seed, sensor, spp, max_depth, rr_depth,
+                           _MeshHolder(mesh))
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth", "mesh_holder"))
+def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
+                     rr_depth, mesh_holder):
+    from ..ad import prb as prb_mod
+
+    mesh = mesh_holder.mesh
+    sensor = scene.sensors[sensor_idx]
+    n_total = sensor.width * sensor.height * spp
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0
+    n_local = n_total // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def step(scene, img_ref, seed):
+        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
+        lane0 = shard * jnp.uint32(n_local)
+        sampler, ray, weight, pos = _sample_rays_global(
+            sensor, spp, seed, lane0, n_local)
+        L, valid = P_.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+        value = L * weight
+        pix = (lane0 + jnp.arange(n_local, dtype=jnp.uint32)) // jnp.uint32(spp)
+        flat = jnp.zeros((sensor.width * sensor.height, 3), value.dtype)
+        flat = flat.at[pix].add(value / spp)
+        img = jax.lax.psum(
+            flat.reshape(sensor.height, sensor.width, 3), "rays")
+
+        # L2 image loss + adjoint radiance for this shard's lanes
+        diff = img - img_ref
+        loss = jnp.mean(diff ** 2)
+        d_img = 2.0 * diff / diff.size
+        dL = d_img.reshape(-1, 3)[pix] * weight / spp
+
+        grads_list = prb_mod.prb_backward(
+            scene, sampler, ray, dL, L, max_depth, rr_depth)
+        diff0, rest, treedef = prb_mod.split_scene(scene)
+        leaves = [
+            jax.lax.psum(g, "rays") if g is not None else r
+            for g, r in zip(grads_list, rest)
+        ]
+        g_scene = jax.tree.unflatten(treedef, leaves)
+        return loss, g_scene
+
+    return step(scene, img_ref, jnp.asarray(seed, jnp.uint32))
+
+
+def train_step_data_parallel(scene, img_ref, seed=0, sensor: int = 0,
+                             spp: int = 16, max_depth: int = 3,
+                             rr_depth: int = 5, mesh: Optional[Mesh] = None):
+    """One distributed inverse-rendering step: DP render of the wavefront,
+    per-shard PRB path-replay backward, parameter grads psum-reduced over
+    the mesh (overlapped with the backward sweep by XLA latency hiding).
+
+    Returns (loss, scene-cotangent pytree)."""
+    mesh = mesh if mesh is not None else make_mesh()
+    return _train_step_impl(scene, img_ref, seed, sensor, spp, max_depth,
+                            rr_depth, _MeshHolder(mesh))
