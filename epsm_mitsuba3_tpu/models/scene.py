@@ -57,6 +57,8 @@ class Scene:
     emitters: Dict[str, jnp.ndarray]
     em_faces: jnp.ndarray       # (E, Tmax) int32 global face ids (-1 pad)
     sensors: Tuple[Sensor, ...]
+    #: BVH acceleration structure (None -> brute force for small scenes)
+    bvh: Any = None
     static: SceneStatic = static_field(default=None)
 
     # -- ray queries (scene.cpp:116-142) ------------------------------------
@@ -383,11 +385,18 @@ class _Builder:
             integrator=tuple(sorted(self.integrator.items())),
             spp=self.spp,
         )
+        vertices = np.concatenate(self.vertices)
+        faces = np.concatenate(self.faces)
+        bvh = None
+        from ..ops import accel
+        if len(faces) > accel.BRUTE_FORCE_MAX_TRIS:
+            from ..ops import bvh as bvh_mod
+            bvh = bvh_mod.build(vertices, faces)
         return Scene(
-            vertices=jnp.asarray(np.concatenate(self.vertices)),
+            vertices=jnp.asarray(vertices),
             normals=jnp.asarray(np.concatenate(self.normals)),
             uvs=jnp.asarray(np.concatenate(self.uvs)),
-            faces=jnp.asarray(np.concatenate(self.faces)),
+            faces=jnp.asarray(faces),
             face_shape=jnp.asarray(np.concatenate(self.face_shape)),
             shape_bsdf=jnp.asarray(self.shape_bsdf, jnp.int32),
             shape_emitter=jnp.asarray(self.shape_emitter, jnp.int32),
@@ -395,6 +404,7 @@ class _Builder:
             emitters=etable,
             em_faces=jnp.asarray(em_faces),
             sensors=tuple(self.sensors),
+            bvh=bvh,
             static=static,
         )
 
@@ -530,12 +540,14 @@ class SceneParameters:
             for k, v in values.items():
                 self[k] = v
         sc = self.scene
+        verts_changed = False
         for key, value in self._pending.items():
             kind = self._resolve(key)
             if kind[0] == "verts":
                 s, c = sc.static.vertex_ranges[kind[1]]
                 value = jnp.asarray(value, sc.vertices.dtype).reshape(c, 3)
                 sc = sc.replace(vertices=sc.vertices.at[s : s + c].set(value))
+                verts_changed = True
             elif kind[0] == "norms":
                 s, c = sc.static.vertex_ranges[kind[1]]
                 value = jnp.asarray(value, sc.normals.dtype).reshape(c, 3)
@@ -556,6 +568,11 @@ class SceneParameters:
                     to_world=jnp.asarray(value).reshape(4, 4)
                 )
                 sc = sc.replace(sensors=tuple(sensors))
+        if verts_changed and sc.bvh is not None:
+            # accel refit (params.update() analog, util.py:288-346)
+            from ..ops import bvh as bvh_mod
+            sc = sc.replace(
+                bvh=bvh_mod.refit(sc.bvh, sc.vertices, sc.faces))
         self._pending = {}
         self.scene = sc
         return sc

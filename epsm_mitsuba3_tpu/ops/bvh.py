@@ -1,0 +1,188 @@
+"""BVH construction (host side) — scene_embree.inl / kdtree.cpp analog.
+
+The builder is native C++ (native/bvh.cpp, binned SAH), compiled lazily
+with g++ and loaded via ctypes; a numpy median-split fallback keeps the
+framework functional without a toolchain.  The flat node arrays live on
+device; topology is static per scene, and ``refit`` recomputes node bounds
+bottom-up *inside jit* when vertex positions move during optimization
+(the analog of params.update() -> accel refit, util.py:288-346).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libepsm_native.so")
+_lib = None
+LEAF_SIZE = 4
+
+
+@pytree_dataclass
+class BVH:
+    """Flat BVH arrays. ``meta``: (n,4) int32 [left|start, right|count,
+    is_leaf, parent]; ``order``: (F,) reordered prim ids; ``levels``:
+    (n,) int32 depth of each node (for bottom-up refit sweeps)."""
+    bmin: jnp.ndarray
+    bmax: jnp.ndarray
+    meta: jnp.ndarray
+    order: jnp.ndarray
+    levels: jnp.ndarray
+    n_levels: int = static_field(default=0)
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.epsm_build_bvh.restype = ctypes.c_int32
+        lib.epsm_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return lib
+    except OSError:
+        return None
+
+
+def _build_native(verts: np.ndarray, faces: np.ndarray, leaf_size: int):
+    lib = _load_native()
+    if lib is None:
+        return None
+    nf = len(faces)
+    cap = max(2 * nf, 4)
+    bmin = np.zeros((cap, 3), np.float32)
+    bmax = np.zeros((cap, 3), np.float32)
+    meta = np.zeros((cap, 4), np.int32)
+    order = np.zeros((nf,), np.int32)
+    n = lib.epsm_build_bvh(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nf, leaf_size,
+        bmin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bmax.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return bmin[:n], bmax[:n], meta[:n], order
+
+
+def _build_numpy(verts: np.ndarray, faces: np.ndarray, leaf_size: int):
+    """Median-split fallback builder (same layout as the native one)."""
+    p = verts[faces]                       # (F,3,3)
+    pmin = p.min(1)
+    pmax = p.max(1)
+    cent = 0.5 * (pmin + pmax)
+    bmin_l, bmax_l, meta_l, order_l = [], [], [], []
+
+    def new_node(parent):
+        bmin_l.append(np.zeros(3, np.float32))
+        bmax_l.append(np.zeros(3, np.float32))
+        meta_l.append([0, 0, 0, parent])
+        return len(meta_l) - 1
+
+    def build(ids, parent):
+        node = new_node(parent)
+        bmin_l[node] = pmin[ids].min(0)
+        bmax_l[node] = pmax[ids].max(0)
+        if len(ids) <= leaf_size:
+            meta_l[node][0] = len(order_l)
+            meta_l[node][1] = len(ids)
+            meta_l[node][2] = 1
+            order_l.extend(ids.tolist())
+            return node
+        axis = int(np.argmax(bmax_l[node] - bmin_l[node]))
+        srt = ids[np.argsort(cent[ids, axis], kind="stable")]
+        mid = len(srt) // 2
+        l = build(srt[:mid], node)
+        r = build(srt[mid:], node)
+        meta_l[node][0] = l
+        meta_l[node][1] = r
+        meta_l[node][2] = 0
+        return node
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    try:
+        build(np.arange(len(faces)), -1)
+    finally:
+        sys.setrecursionlimit(old)
+    return (np.stack(bmin_l), np.stack(bmax_l),
+            np.asarray(meta_l, np.int32), np.asarray(order_l, np.int32))
+
+
+def _node_levels(meta: np.ndarray):
+    n = len(meta)
+    lev = np.zeros(n, np.int32)
+    for i in range(1, n):  # parents precede children in both builders
+        lev[i] = lev[meta[i, 3]] + 1
+    return lev
+
+
+def build(vertices, faces, leaf_size: int = LEAF_SIZE) -> BVH:
+    """Build the BVH on host (native C++ if available, numpy otherwise)."""
+    v = np.ascontiguousarray(np.asarray(vertices, np.float32))
+    f = np.ascontiguousarray(np.asarray(faces, np.int32))
+    res = _build_native(v, f, leaf_size)
+    if res is None:
+        res = _build_numpy(v, f, leaf_size)
+    bmin, bmax, meta, order = res
+    levels = _node_levels(meta)
+    return BVH(
+        bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
+        meta=jnp.asarray(meta), order=jnp.asarray(order),
+        levels=jnp.asarray(levels), n_levels=int(levels.max()) + 1,
+    )
+
+
+def refit(bvh: BVH, vertices, faces) -> BVH:
+    """Recompute node bounds bottom-up from current vertices, keeping
+    topology — jit-compatible (runs when params.update moves vertices)."""
+    p = vertices[faces]                        # (F,3,3)
+    pmin = jnp.min(p, 1)
+    pmax = jnp.max(p, 1)
+
+    n = bvh.meta.shape[0]
+    is_leaf = bvh.meta[:, 2] == 1
+    # leaf bounds from (padded) prim slots
+    slots = bvh.meta[:, 0][:, None] + jnp.arange(LEAF_SIZE)[None, :]
+    counts = bvh.meta[:, 1][:, None]
+    valid = (jnp.arange(LEAF_SIZE)[None, :] < counts) & is_leaf[:, None]
+    prim = bvh.order[jnp.clip(slots, 0, bvh.order.shape[0] - 1)]
+    leaf_min = jnp.min(jnp.where(valid[..., None], pmin[prim], jnp.inf), 1)
+    leaf_max = jnp.max(jnp.where(valid[..., None], pmax[prim], -jnp.inf), 1)
+
+    bmin = jnp.where(is_leaf[:, None], leaf_min, bvh.bmin)
+    bmax = jnp.where(is_leaf[:, None], leaf_max, bvh.bmax)
+
+    # bottom-up: sweep levels from deepest to root
+    for lev in range(bvh.n_levels - 2, -1, -1):
+        sel = (bvh.levels == lev) & ~is_leaf
+        l = bvh.meta[:, 0]
+        r = bvh.meta[:, 1]
+        new_min = jnp.minimum(bmin[l], bmin[r])
+        new_max = jnp.maximum(bmax[l], bmax[r])
+        bmin = jnp.where(sel[:, None], new_min, bmin)
+        bmax = jnp.where(sel[:, None], new_max, bmax)
+    return bvh.replace(bmin=bmin, bmax=bmax)

@@ -1,0 +1,92 @@
+"""XML scene loader tests (xml.cpp analog: load_string/load_file)."""
+import os
+
+import numpy as np
+
+import epsm_mitsuba3_tpu as mi
+from epsm_mitsuba3_tpu.core.xmlparse import load_string, load_file
+
+XML = """
+<scene version="3.0.0">
+    <default name="spp" value="4"/>
+    <integrator type="path">
+        <integer name="max_depth" value="3"/>
+    </integrator>
+    <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="to_world">
+            <lookat origin="0, 1, 4" target="0, 1, 0" up="0, 1, 0"/>
+        </transform>
+        <film type="hdrfilm">
+            <integer name="width" value="16"/>
+            <integer name="height" value="16"/>
+            <rfilter type="box"/>
+        </film>
+        <sampler type="independent">
+            <integer name="sample_count" value="$spp"/>
+        </sampler>
+    </sensor>
+    <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.7, 0.7, 0.7"/>
+    </bsdf>
+    <shape type="rectangle">
+        <transform name="to_world">
+            <rotate x="1" angle="-90"/>
+            <scale value="2"/>
+        </transform>
+        <ref id="white"/>
+    </shape>
+    <shape type="rectangle">
+        <transform name="to_world">
+            <rotate x="1" angle="90"/>
+            <translate y="2"/>
+        </transform>
+        <emitter type="area">
+            <rgb name="radiance" value="10, 10, 10"/>
+        </emitter>
+    </shape>
+</scene>
+"""
+
+
+def test_load_string_full_scene():
+    scene = load_string(XML)
+    assert len(scene.sensors) == 1
+    assert scene.sensors[0].fov_x == 40.0
+    assert scene.sensors[0].width == 16
+    assert scene.static.spp == 4
+    assert dict(scene.static.integrator)["max_depth"] == 3
+    img = np.asarray(mi.render(scene, spp=4))
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+
+def test_parameter_substitution():
+    scene = load_string(XML, parameters={"spp": "8"})
+    assert scene.static.spp == 8
+
+
+def test_load_file(tmp_path):
+    p = tmp_path / "scene.xml"
+    p.write_text(XML)
+    scene = load_file(str(p))
+    assert len(scene.static.shape_names) == 2
+
+
+def test_transform_chain_matches_dict_loader():
+    xml_scene = load_string(XML)
+    T = mi.ScalarTransform4f
+    d_scene = mi.load_dict({
+        "type": "scene",
+        "floor": {
+            "type": "rectangle",
+            # rotate then scale applied in XML order (innermost first)
+            "to_world": T.scale(2.0).rotate([1, 0, 0], -90),
+        },
+        "sensor": {"type": "perspective"},
+    })
+    s, c = xml_scene.static.vertex_ranges[0]
+    v_xml = np.asarray(xml_scene.vertices[s:s + c])
+    s2, c2 = d_scene.static.vertex_ranges[0]
+    v_d = np.asarray(d_scene.vertices[s2:s2 + c2])
+    assert np.allclose(v_xml, v_d, atol=1e-5), (v_xml, v_d)
