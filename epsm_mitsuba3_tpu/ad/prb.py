@@ -105,6 +105,7 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     ds, em_weight_det = E.sample_direction(
         scene.emitters, scene.static.emitter_kinds, jax.lax.stop_gradient(si.p),
         sampler_s2, scene.vertices, scene.faces, scene.em_faces,
+        scene.textures, scene.static.env_texture,
     )
     active_em = active_em & (ds.pdf != 0.0)
     # visibility from primal replay is folded into em_weight_det == 0
@@ -122,7 +123,7 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     wo = si.to_local(jax.lax.stop_gradient(d_att))
     bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo,
-        active_em,
+        active_em, uv=si.uv, textures=scene.textures,
     )
     mis_em = jnp.where(
         ds.delta, 1.0,
@@ -135,7 +136,7 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     wo_ind = si.to_local(next_ray_d)
     bsdf_val, _ = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo_ind,
-        active_next,
+        active_next, uv=si.uv, textures=scene.textures,
     )
     bsdf_val_det = jax.lax.stop_gradient(bsdf_val)
     inv_det = jnp.where(bsdf_val_det != 0.0, 1.0 / jnp.where(

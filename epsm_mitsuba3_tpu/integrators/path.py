@@ -55,7 +55,8 @@ def _emitter_hit_le(scene, si, ray_d, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
     ds_pdf = E.pdf_direction(
         scene.emitters, ek, prev_p, ray_d, si.emitter_index, si.p, si.n,
         scene.vertices, scene.faces, scene.em_faces,
-        active & ~prev_bsdf_delta,
+        active & ~prev_bsdf_delta, scene.textures,
+        scene.static.env_texture,
     )
     mis = mis_weight(prev_bsdf_pdf, ds_pdf)
     le_surf = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
@@ -65,9 +66,11 @@ def _emitter_hit_le(scene, si, ray_d, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
         scene.emitters, ek, prev_p, ray_d,
         jnp.zeros_like(si.emitter_index), si.p, si.n,
         scene.vertices, scene.faces, scene.em_faces,
-        active & ~prev_bsdf_delta,
+        active & ~prev_bsdf_delta, scene.textures,
+        scene.static.env_texture,
     ) if (E.KIND_CONSTANT in ek or E.KIND_ENVMAP in ek) else None
-    le_env = E.eval_env(scene.emitters, ek, ray_d, active & ~si.valid)
+    le_env = E.eval_env(scene.emitters, ek, ray_d, active & ~si.valid,
+                        scene.textures, scene.static.env_texture)
     if env_pdf is not None:
         mis_env = mis_weight(prev_bsdf_pdf, jnp.where(~si.valid, env_pdf, 0.0))
         le = mis[..., None] * le_surf + mis_env[..., None] * le_env
@@ -82,6 +85,7 @@ def _nee(scene, si, sampler, active_em):
     ds, em_weight = E.sample_direction(
         scene.emitters, scene.static.emitter_kinds, si.p, s2,
         scene.vertices, scene.faces, scene.em_faces,
+        scene.textures, scene.static.env_texture,
     )
     active_em = active_em & (ds.pdf != 0.0)
     # visibility
@@ -93,7 +97,7 @@ def _nee(scene, si, sampler, active_em):
     wo = si.to_local(ds.d)
     bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo,
-        active_em,
+        active_em, uv=si.uv, textures=scene.textures,
     )
     mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
     lr_dir = mis_em[..., None] * bsdf_val_em * em_weight
@@ -129,7 +133,7 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     sampler, s2 = smp.next_2d(sampler)
     bs, bsdf_weight, ok = B.sample(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, s1, s2,
-        active_next,
+        active_next, uv=si.uv, textures=scene.textures,
     )
 
     L = st.L + jnp.where(st.active[..., None], le + lr_dir, 0.0)

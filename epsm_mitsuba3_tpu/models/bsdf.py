@@ -534,14 +534,28 @@ def _flip_z(v, flip):
     return jnp.where(flip[..., None], v * jnp.array([1.0, 1.0, -1.0]), v)
 
 
+def _apply_textures(p, uv, textures):
+    """Resolve textured parameters at the hit uv (bitmap.cpp texture eval)."""
+    if uv is None or not textures:
+        return p
+    from . import textures as tex_mod
+    p = dict(p)
+    p["reflectance"] = tex_mod.eval_select(
+        textures, p["reflectance_tex"], uv, p["reflectance"])
+    p["diffuse_reflectance"] = tex_mod.eval_select(
+        textures, p["reflectance_tex"], uv, p["diffuse_reflectance"])
+    return p
+
+
 def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
-           active=None):
+           active=None, uv=None, textures=()):
     """Dispatch BSDF::sample over the wavefront.
 
     Returns (BSDFSample, weight (N,3), ok mask).  ``kinds_present`` is the
     static tuple of kind ids used by the scene (vcall-record analog).
     """
     p = gather_params(table, bsdf_idx)
+    p = _apply_textures(p, uv, textures)
     wi_f, flip = _apply_twosided_in(p, wi)
     bs_out, w_out, ok_out = None, None, None
     for kind in kinds_present:
@@ -573,9 +587,10 @@ def _select_bs(mask, a: BSDFSample, b: BSDFSample) -> BSDFSample:
 
 
 def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
-             active=None):
+             active=None, uv=None, textures=()):
     """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
     p = gather_params(table, bsdf_idx)
+    p = _apply_textures(p, uv, textures)
     wi_f, flip = _apply_twosided_in(p, wi)
     wo_f = _flip_z(wo, flip)
     val_out = jnp.zeros(wi.shape, wi.dtype)

@@ -56,7 +56,15 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "cutoff_cos": jnp.full((n,), jnp.cos(jnp.deg2rad(20.0)), f),  # spot
         "beam_cos": jnp.full((n,), jnp.cos(jnp.deg2rad(15.0)), f),
         "shape_index": jnp.full((n,), -1, jnp.int32),
+        "texture_index": jnp.full((n,), -1, jnp.int32),  # envmap bitmap
     }
+
+
+def _dir_to_latlong_uv(d):
+    """World direction -> lat-long uv (envmap.cpp convention, y-up)."""
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * (0.5 / jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) * (1.0 / jnp.pi)
+    return jnp.stack([u, v], -1)
 
 
 def triangle_areas(vertices, faces):
@@ -87,6 +95,7 @@ def sample_direction(
     ref_p: jnp.ndarray,            # (N,3) reference points
     sample2: jnp.ndarray,          # (N,2)
     vertices, faces, em_faces,     # geometry for area emitters
+    textures=(), env_texture: int = -1,
 ) -> Tuple[DirectionSample, jnp.ndarray]:
     """Scene::sample_emitter_direction (scene.cpp:226-284) without occlusion.
 
@@ -110,10 +119,17 @@ def sample_direction(
     if KIND_AREA in kinds_present or KIND_DIRECTIONALAREA in kinds_present:
         cdf, total_area = area_emitter_data(vertices, faces, em_faces)
 
+    env_tex = (textures[env_texture]
+               if (env_texture >= 0 and env_texture < len(textures)) else None)
     for kind in kinds_present:
-        ds, spec = _SAMPLE_FNS[kind](
-            p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf, total_area
-        )
+        if kind == KIND_ENVMAP:
+            ds, spec = _envmap_sample(
+                p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
+                total_area, env_tex)
+        else:
+            ds, spec = _SAMPLE_FNS[kind](
+                p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
+                total_area)
         is_k = p_em["kind"] == kind
         if ds_out is None:
             ds_out, spec_out = ds, spec
@@ -227,10 +243,69 @@ def _constant_sample(p_em, ref_p, s2, em_idx, *_):
     return ds, p_em["radiance"]
 
 
-def _envmap_sample(p_em, ref_p, s2, em_idx, *_):
-    # uniform-sphere sampling; importance sampling of the bitmap is layered
-    # on later (Hierarchical2D analog).  Radiance modulated at eval time.
-    return _constant_sample(p_em, ref_p, s2, em_idx)
+def envmap_weights(tex):
+    """Luminance * sin(theta) sampling weights of a lat-long envmap
+    (envmap.cpp builds the same table into a Hierarchical2D warp)."""
+    h, w = tex.data.shape[:2]
+    lum = (tex.data[..., 0] * 0.2126 + tex.data[..., 1] * 0.7152
+           + tex.data[..., 2] * 0.0722)
+    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+    return lum * jnp.sin(theta)[:, None] + 1e-12
+
+
+def _envmap_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
+                   total_area, env_tex=None):
+    if env_tex is None:
+        return _constant_sample(p_em, ref_p, s2, em_idx)
+    # 2D inverse-CDF sampling over the lat-long grid (Marginal2D analog,
+    # include/mitsuba/core/distr_2d.h)
+    wgt = envmap_weights(env_tex)                       # (H, W)
+    h, w = wgt.shape
+    row_w = jnp.sum(wgt, axis=1)
+    row_cdf = jnp.cumsum(row_w)
+    total = row_cdf[-1]
+    row_cdf = row_cdf / total
+    col_cdf = jnp.cumsum(wgt, axis=1)
+    col_cdf = col_cdf / col_cdf[:, -1:]
+
+    y = jnp.clip(jnp.searchsorted(row_cdf, s2[..., 1], side="right"), 0, h - 1)
+    ccdf_y = col_cdf[y]                                  # (N, W)
+    x = jnp.clip(
+        jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(
+            ccdf_y, s2[..., 0]), 0, w - 1)
+    # continuous offset inside the texel
+    u = (x.astype(jnp.float32) + 0.5) / w
+    v = (y.astype(jnp.float32) + 0.5) / h
+    phi = (u - 0.5) * (2.0 * jnp.pi)
+    theta = v * jnp.pi
+    sin_t = jnp.sin(theta)
+    d = jnp.stack([sin_t * jnp.sin(phi), jnp.cos(theta),
+                   -sin_t * jnp.cos(phi)], -1)
+    # pdf: p(texel)/texel_solid_angle ; texel sa = 2pi^2 sin(theta)/(H W)
+    p_texel = wgt[y, x] / total
+    pdf = p_texel * (h * w) / jnp.maximum(
+        2.0 * jnp.pi * jnp.pi * sin_t, 1e-12)
+    spec = p_em["radiance"] * env_tex.data[y, x]
+    dist = jnp.full(pdf.shape, _WORLD_RADIUS)
+    ds = DirectionSample(
+        p=ref_p + d * _WORLD_RADIUS, n=-d, uv=jnp.stack([u, v], -1), d=d,
+        dist=dist, pdf=pdf, delta=jnp.zeros(pdf.shape, jnp.bool_),
+        emitter_index=em_idx,
+    )
+    return ds, spec
+
+
+def envmap_pdf_direction(env_tex, d):
+    """Solid-angle pdf of the envmap importance sampler for direction d."""
+    wgt = envmap_weights(env_tex)
+    h, w = wgt.shape
+    total = jnp.sum(wgt)
+    uv = _dir_to_latlong_uv(d)
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 1e-12))
+    return (wgt[y, x] / total) * (h * w) / jnp.maximum(
+        2.0 * jnp.pi * jnp.pi * sin_t, 1e-12)
 
 
 def _directional_sample(p_em, ref_p, s2, em_idx, *_):
@@ -258,7 +333,7 @@ _SAMPLE_FNS = {
 
 def pdf_direction(
     table, kinds_present, ref_p, d, hit_emitter_idx, hit_p, hit_n,
-    vertices, faces, em_faces, active,
+    vertices, faces, em_faces, active, textures=(), env_texture: int = -1,
 ):
     """Scene::pdf_emitter_direction (scene.cpp:286-331) for MIS: the
     solid-angle NEE pdf of having sampled direction ``d`` that hit emitter
@@ -279,7 +354,16 @@ def pdf_direction(
         pdf = jnp.where(is_area, pdf_area, pdf)
     if KIND_CONSTANT in kinds_present or KIND_ENVMAP in kinds_present:
         is_inf = (kind == KIND_CONSTANT) | (kind == KIND_ENVMAP)
-        pdf = jnp.where(is_inf, warp.square_to_uniform_sphere_pdf(d), pdf)
+        env_tex = (textures[env_texture]
+                   if (env_texture >= 0 and env_texture < len(textures))
+                   else None)
+        if env_tex is not None:
+            inf_pdf = jnp.where(kind == KIND_ENVMAP,
+                                envmap_pdf_direction(env_tex, d),
+                                warp.square_to_uniform_sphere_pdf(d))
+        else:
+            inf_pdf = warp.square_to_uniform_sphere_pdf(d)
+        pdf = jnp.where(is_inf, inf_pdf, pdf)
     pdf = pdf / n_em
     return jnp.where(active & (hit_emitter_idx >= 0), pdf, 0.0)
 
@@ -294,13 +378,30 @@ def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
     return jnp.where(vis[..., None], rad, 0.0)
 
 
-def eval_env(table, kinds_present, d, active):
-    """Environment contribution for escaped rays (constant.cpp / envmap.cpp)."""
+def eval_env(table, kinds_present, d, active, textures=(),
+             env_texture: int = -1):
+    """Environment contribution for escaped rays (constant.cpp / envmap.cpp):
+    constant emitters contribute their radiance; envmaps modulate by the
+    lat-long bitmap lookup."""
     out = jnp.zeros(d.shape, d.dtype)
     if KIND_CONSTANT not in kinds_present and KIND_ENVMAP not in kinds_present:
         return out
     kind = table["kind"]
-    is_env = (kind == KIND_CONSTANT) | (kind == KIND_ENVMAP)
-    # sum of all constant emitters' radiance (usually one)
-    rad = jnp.sum(jnp.where(is_env[:, None], table["radiance"], 0.0), axis=0)
-    return jnp.where(active[..., None], rad[None, :], 0.0)
+    is_const = kind == KIND_CONSTANT
+    rad = jnp.sum(jnp.where(is_const[:, None], table["radiance"], 0.0), axis=0)
+    out = jnp.broadcast_to(rad[None, :], d.shape)
+    if KIND_ENVMAP in kinds_present:
+        env_tex = (textures[env_texture]
+                   if (env_texture >= 0 and env_texture < len(textures))
+                   else None)
+        is_env = kind == KIND_ENVMAP
+        scale = jnp.sum(jnp.where(is_env[:, None], table["radiance"], 0.0),
+                        axis=0)
+        if env_tex is not None:
+            uv = _dir_to_latlong_uv(d)
+            from . import textures as tex_mod
+            val = tex_mod.eval_one(env_tex, uv)
+            out = out + scale[None, :] * val
+        else:
+            out = out + jnp.broadcast_to(scale[None, :], d.shape)
+    return jnp.where(active[..., None], out, 0.0)

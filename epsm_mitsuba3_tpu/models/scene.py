@@ -42,6 +42,8 @@ class SceneStatic:
     emitter_names: Tuple[str, ...] = static_field(default=())
     integrator: Tuple[Tuple[str, Any], ...] = static_field(default=())
     spp: int = static_field(default=16)
+    #: index into scene.textures of the (single) envmap bitmap, or -1
+    env_texture: int = static_field(default=-1)
 
 
 @pytree_dataclass
@@ -57,6 +59,8 @@ class Scene:
     emitters: Dict[str, jnp.ndarray]
     em_faces: jnp.ndarray       # (E, Tmax) int32 global face ids (-1 pad)
     sensors: Tuple[Sensor, ...]
+    #: textures referenced by BSDFs/emitters (tuple of Texture pytrees)
+    textures: Tuple = ()
     #: BVH acceleration structure (None -> brute force for small scenes)
     bvh: Any = None
     static: SceneStatic = static_field(default=None)
@@ -160,10 +164,33 @@ class _Builder:
         self.bsdf_by_id = {}
         self.em_rows, self.em_names, self.em_shape, self.em_face_list = [], [], [], []
         self.sensors = []
+        self.textures = []
+        self.env_texture = -1
         self.integrator = {"type": "path", "max_depth": 6, "rr_depth": 5}
         self.spp = 16
         self._v_off = 0
         self._f_off = 0
+
+    def add_texture(self, d: dict) -> int:
+        """Texture plugin -> index into scene.textures (src/textures/*)."""
+        from . import textures as tex_mod
+        t = d.get("type")
+        if t == "bitmap":
+            from ..core.bitmap import read_image
+            img = read_image(d["filename"]).data
+            tex = tex_mod.bitmap(img)
+        elif t == "checkerboard":
+            tex = tex_mod.checkerboard(
+                _rgb(d.get("color0"), (0.4, 0.4, 0.4)),
+                _rgb(d.get("color1"), (0.2, 0.2, 0.2)),
+                (float(d.get("uv_scale_x", d.get("uv_scale", 1.0))),) * 2
+                if not isinstance(d.get("uv_scale"), (list, tuple))
+                else tuple(d.get("uv_scale")),
+            )
+        else:
+            raise ValueError(f"unsupported texture type '{t}'")
+        self.textures.append(tex)
+        return len(self.textures) - 1
 
     # -- BSDFs --------------------------------------------------------------
     def add_bsdf(self, d: dict, name: str) -> int:
@@ -171,13 +198,20 @@ class _Builder:
             return self.bsdf_by_id[d["id"]]
         kind_name, p, twosided = _parse_bsdf(d)
         kind = bsdf_mod.KIND_NAMES[kind_name]
+        refl = p.get("reflectance")
+        refl_tex = -1
+        if isinstance(refl, dict) and refl.get("type") in ("bitmap",
+                                                           "checkerboard"):
+            refl_tex = self.add_texture(refl)
+            refl = None
         row = {
             "kind": kind,
             "flags": bsdf_mod.KIND_FLAGS[kind]
-            | (bsdf_mod.BSDFFlags.BackSide if twosided else 0),
+            | (bsdf_mod.BSDFFlags.BackSide if twosided else 0)
+            | (bsdf_mod.BSDFFlags.SpatiallyVarying if refl_tex >= 0 else 0),
             "twosided": twosided,
-            "reflectance": _rgb(p.get("reflectance"), (0.5, 0.5, 0.5)),
-            "reflectance_tex": -1,
+            "reflectance": _rgb(refl, (0.5, 0.5, 0.5)),
+            "reflectance_tex": refl_tex,
             "specular_reflectance": _rgb(p.get("specular_reflectance")),
             "specular_transmittance": _rgb(p.get("specular_transmittance")),
             "diffuse_reflectance": _rgb(p.get("diffuse_reflectance"), (0.5, 0.5, 0.5)),
@@ -217,9 +251,20 @@ class _Builder:
             direction = np.asarray(d["direction"], np.float32)
         cutoff = float(d.get("cutoff_angle", 20.0))
         beam = float(d.get("beam_width", cutoff * 0.75))
+        tex_idx = -1
+        if kind == em_mod.KIND_ENVMAP and "filename" in d:
+            tex_idx = self.add_texture({"type": "bitmap",
+                                        "filename": d["filename"]})
+            self.env_texture = tex_idx
+        rad = d.get("radiance")
+        if isinstance(rad, dict) and rad.get("type") in ("bitmap",
+                                                         "checkerboard"):
+            tex_idx = self.add_texture(rad)
+            rad = None
         row = {
             "kind": kind,
-            "radiance": _rgb(d.get("radiance")),
+            "texture_index": tex_idx,
+            "radiance": _rgb(rad) * float(d.get("scale", 1.0)),
             "intensity": _rgb(d.get("intensity")),
             "irradiance": _rgb(d.get("irradiance")),
             "position": pos,
@@ -384,6 +429,7 @@ class _Builder:
             emitter_names=tuple(self.em_names),
             integrator=tuple(sorted(self.integrator.items())),
             spp=self.spp,
+            env_texture=self.env_texture,
         )
         vertices = np.concatenate(self.vertices)
         faces = np.concatenate(self.faces)
@@ -404,6 +450,7 @@ class _Builder:
             emitters=etable,
             em_faces=jnp.asarray(em_faces),
             sensors=tuple(self.sensors),
+            textures=tuple(self.textures),
             bvh=bvh,
             static=static,
         )
