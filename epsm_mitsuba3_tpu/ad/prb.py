@@ -226,7 +226,7 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth):
     def _primal(scene, seed):
         sensor = scene.sensors[sensor_idx]
         n = sensor.width * sensor.height * spp
-        sampler = smp.seed(seed, n)
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
         L, valid = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
         return _film_fn(L, jax.lax.stop_gradient(pos),
@@ -239,7 +239,7 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth):
         scene, seed = res
         sensor = scene.sensors[sensor_idx]
         n = sensor.width * sensor.height * spp
-        sampler = smp.seed(seed, n)
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
         dL = film_adjoint(g_img, pos, weight, sensor, spp, n)
         # primal replay for L_total (2-pass RB, common.py:574-974)

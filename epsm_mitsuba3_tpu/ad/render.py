@@ -58,12 +58,12 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
     kind = cfg["type"]
     if spp == 0:
         spp = scene.static.spp
-    if kind in ("path", "prb", "prb_basic", "prb_reparam", "direct"):
-        max_depth = 2 if kind == "direct" else int(cfg.get("max_depth", 6))
+    if kind in ("path", "prb", "prb_basic", "prb_reparam"):
         from . import prb
         return prb.render_prb(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
-            max_depth=max_depth, rr_depth=int(cfg.get("rr_depth", 5)),
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)),
         )
     if kind in ("manifold", "manifold_caustic"):
         from ..integrators import epsm
@@ -73,7 +73,39 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             rr_depth=int(cfg.get("rr_depth", 5)),
             caustic=(kind == "manifold_caustic"),
         )
+    if kind in ("direct", "direct_reparam"):
+        from ..integrators import direct as direct_mod
+        return direct_mod.render_direct(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            emitter_samples=int(cfg.get("emitter_samples", 1)),
+            bsdf_samples=int(cfg.get("bsdf_samples", 1)))
     if kind == "depth":
         from ..integrators import aov
         return aov.render_depth(scene, seed=seed, sensor_idx=sensor, spp=spp)
+    if kind == "aov":
+        from ..integrators import aov
+        names = tuple(
+            a.split(":")[1].strip() for a in
+            str(cfg.get("aovs", "depth:depth,sh_normal:sh_normal")).split(",")
+        ) if ":" in str(cfg.get("aovs", "")) else (
+            "depth", "sh_normal", "position", "albedo")
+        return aov.render_aov(scene, seed=seed, sensor_idx=sensor, spp=spp,
+                              aovs=names,
+                              max_depth=int(cfg.get("max_depth", 2)))
+    if kind == "moment":
+        from ..integrators import aov
+        return aov.render_moment(scene, seed=seed, sensor_idx=sensor,
+                                 spp=spp,
+                                 max_depth=int(cfg.get("max_depth", 4)))
+    if kind in ("volpath", "volpathmis", "prbvolpath"):
+        from ..integrators import volpath
+        return volpath.render_volpath(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)))
+    if kind == "ptracer":
+        from ..integrators import ptracer
+        return ptracer.render_ptracer(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)))
     raise ValueError(f"unknown integrator '{kind}'")

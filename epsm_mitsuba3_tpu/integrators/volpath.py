@@ -1,0 +1,219 @@
+"""Volumetric path tracer (src/integrators/volpath.cpp / volpathmis.cpp and
+the AD variant prbvolpath.py).
+
+Homogeneous-media transport with spectral-channel-MIS free-flight sampling,
+phase-function scattering, NEE with transmittance along shadow rays, and
+medium transitions at null/dielectric interfaces.  The loop is the same
+masked ``lax.scan`` megakernel shape as the surface path tracer; a per-lane
+``medium_index`` (-1 = vacuum) is part of the loop state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..integrators import common
+from ..models import bsdf as B
+from ..models import emitters as E
+from ..models import films, media as MED, samplers as smp
+from ..models.records import Ray, RayFlags
+from .common import mis_weight
+
+
+class VolState(NamedTuple):
+    sampler: object
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    depth: jnp.ndarray
+    L: jnp.ndarray
+    beta: jnp.ndarray
+    active: jnp.ndarray
+    medium: jnp.ndarray          # (N,) int32 current medium (-1 vacuum)
+    prev_p: jnp.ndarray
+    prev_pdf: jnp.ndarray
+    prev_delta: jnp.ndarray
+
+
+def _medium_params(scene, medium_idx):
+    safe = jnp.maximum(medium_idx, 0)
+    tab = scene.media
+    sig = tab["sigma_t"][safe] * tab["scale"][safe][..., None]
+    alb = tab["albedo"][safe]
+    in_medium = medium_idx >= 0
+    sig = jnp.where(in_medium[..., None], sig, 0.0)
+    return sig, alb, tab["phase_kind"][safe], tab["phase_g"][safe], in_medium
+
+
+def _shadow_transmittance(scene, si_p, n_geo, ds, medium_idx, active):
+    """Transmittance along the NEE shadow ray: surface occlusion test plus
+    homogeneous Beer-Lambert through the current medium."""
+    from ..models.records import SurfaceInteraction  # noqa: F401
+    sh = Ray.make(si_p + ds.d * 1e-4, ds.d,
+                  maxt=ds.dist * (1.0 - 1e-3))
+    occluded = scene.ray_test(sh)
+    sig, _, _, _, in_med = _medium_params(scene, medium_idx)
+    tr = MED.transmittance(sig, ds.dist)
+    tr = jnp.where(occluded[..., None], 0.0, tr)
+    return jnp.where(active[..., None], tr, 0.0)
+
+
+def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
+                   rr_depth: int = 5):
+    scene = jax.lax.stop_gradient(scene)
+    n = ray.o.shape[0]
+    st = VolState(
+        sampler=sampler, ray_o=ray.o, ray_d=ray.d,
+        depth=jnp.zeros((n,), jnp.int32),
+        L=jnp.zeros((n, 3)), beta=jnp.ones((n, 3)),
+        active=jnp.ones((n,), jnp.bool_),
+        medium=jnp.full((n,), -1, jnp.int32),
+        prev_p=ray.o, prev_pdf=jnp.ones((n,)),
+        prev_delta=jnp.ones((n,), jnp.bool_),
+    )
+    ek = scene.static.emitter_kinds
+
+    def body(st, _):
+        sampler = st.sampler
+        ray_b = Ray.make(st.ray_o, st.ray_d)
+        si = scene.ray_intersect(ray_b)
+
+        # --- free-flight sampling inside the current medium ---
+        sig, alb, ph_kind, ph_g, in_med = _medium_params(scene, st.medium)
+        sampler, u_t = smp.next_1d(sampler)
+        sampler, u_ch = smp.next_1d(sampler)
+        t_m, ch = MED.sample_free_flight(sig + 1e-20, u_t, u_ch)
+        surf_t = jnp.where(si.valid, si.t, 1e7)
+        medium_scatter = in_med & (t_m < surf_t) & st.active
+        t_event = jnp.where(medium_scatter, t_m, surf_t)
+
+        # transmittance weight with channel-MIS (volpath.cpp:210-260):
+        # pdf = mean_ch sigma_ch exp(-sigma_ch t) (scatter)
+        #     | mean_ch exp(-sigma_ch t)          (surface passthrough)
+        tr = MED.transmittance(sig, t_event)
+        pdf_scatter = jnp.mean(sig * tr, axis=-1)
+        pdf_surface = jnp.mean(tr, axis=-1)
+        w_med = jnp.where(
+            medium_scatter[..., None],
+            sig * alb * tr / jnp.maximum(pdf_scatter, 1e-20)[..., None],
+            tr / jnp.maximum(pdf_surface, 1e-20)[..., None],
+        )
+        beta = st.beta * jnp.where(in_med[..., None], w_med, 1.0)
+
+        p_event = st.ray_o + st.ray_d * t_event[..., None]
+
+        # --- direct emission at surface hits (MIS) ---
+        ds_pdf = E.pdf_direction(
+            scene.emitters, ek, st.prev_p, st.ray_d, si.emitter_index,
+            si.p, si.n, scene.vertices, scene.faces, scene.em_faces,
+            st.active & ~st.prev_delta, scene.textures,
+            scene.static.env_texture)
+        mis = mis_weight(st.prev_pdf, ds_pdf)
+        le = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+        le = jnp.where((st.active & si.valid & ~medium_scatter)[..., None],
+                       le, 0.0)
+        le_env = E.eval_env(scene.emitters, ek, st.ray_d,
+                            st.active & ~si.valid & ~medium_scatter,
+                            scene.textures, scene.static.env_texture)
+        L = st.L + beta * (mis[..., None] * le + le_env)
+
+        active_next = (st.depth + 1 < max_depth) & st.active & (
+            si.valid | medium_scatter)
+
+        # --- NEE from the event point (surface or medium) ---
+        sampler, s2 = smp.next_2d(sampler)
+        ref_p = jnp.where(medium_scatter[..., None], p_event, si.p)
+        ds, em_weight = E.sample_direction(
+            scene.emitters, ek, ref_p, s2, scene.vertices, scene.faces,
+            scene.em_faces, scene.textures, scene.static.env_texture)
+        bsdf_flags = B.flags_of(scene.bsdfs, si.bsdf_index)
+        surf_em = active_next & ~medium_scatter & B.has_flag(
+            bsdf_flags, B.BSDFFlags.Smooth)
+        med_em = active_next & medium_scatter
+        a_em = (surf_em | med_em) & (ds.pdf != 0.0)
+        tr_sh = _shadow_transmittance(scene, ref_p, si.n, ds, st.medium, a_em)
+
+        wo_l = si.to_local(ds.d)
+        f_surf, pdf_surf = B.eval_pdf(
+            scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
+            wo_l, surf_em, uv=si.uv, textures=scene.textures)
+        f_phase, pdf_phase = MED.phase_eval(ph_kind, ph_g, st.ray_d, ds.d)
+        f_nee = jnp.where(medium_scatter[..., None],
+                          f_phase[..., None], f_surf)
+        pdf_nee_b = jnp.where(medium_scatter, pdf_phase, pdf_surf)
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_nee_b))
+        L = L + beta * mis_em[..., None] * f_nee * em_weight * tr_sh
+
+        # --- next direction: phase sample or BSDF sample ---
+        sampler, s1b = smp.next_1d(sampler)
+        sampler, s2b = smp.next_2d(sampler)
+        bs, bsdf_w, ok_s = B.sample(
+            scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
+            s1b, s2b, active_next & ~medium_scatter, uv=si.uv,
+            textures=scene.textures)
+        wo_phase, pdf_ph = MED.phase_sample(ph_kind, ph_g, st.ray_d, s2b)
+
+        new_d = jnp.where(medium_scatter[..., None],
+                          wo_phase, si.to_world(bs.wo))
+        new_o = jnp.where(medium_scatter[..., None], p_event,
+                          si.spawn_ray(si.to_world(bs.wo)).o)
+        next_pdf = jnp.where(medium_scatter, pdf_ph, bs.pdf)
+        next_delta = jnp.where(
+            medium_scatter, False,
+            B.has_flag(bs.sampled_type, B.BSDFFlags.Delta))
+        beta = beta * jnp.where(
+            medium_scatter[..., None], 1.0,
+            jnp.where(ok_s[..., None], bsdf_w, 0.0))
+        ok = medium_scatter | ok_s
+        active_next = active_next & ok & (jnp.max(beta, -1) > 0.0)
+
+        # --- medium transitions on transmission through surfaces ---
+        transmitted = (~medium_scatter) & ok_s & (
+            m.dot(si.to_world(bs.wo), si.n) < 0.0)
+        shape_medium = scene.shape_interior[
+            jnp.maximum(si.shape_index, 0)]
+        exited = (~medium_scatter) & ok_s & (
+            m.dot(si.to_world(bs.wo), si.n) >= 0.0)
+        medium = jnp.where(transmitted & si.valid, shape_medium, st.medium)
+        medium = jnp.where(exited & si.valid & (st.medium >= 0), -1, medium)
+
+        # RR
+        beta_max = jnp.max(beta, -1)
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_active = st.depth >= rr_depth
+        beta = jnp.where(rr_active[..., None],
+                         beta / jnp.maximum(rr_prob, 1e-8)[..., None], beta)
+        sampler, rr_u = smp.next_1d(sampler)
+        active_next = active_next & (~rr_active | (rr_u < rr_prob))
+
+        depth = st.depth + (si.valid | medium_scatter).astype(jnp.int32)
+        new_st = VolState(
+            sampler=sampler, ray_o=new_o, ray_d=new_d, depth=depth, L=L,
+            beta=beta, active=active_next, medium=medium,
+            prev_p=ref_p, prev_pdf=next_pdf, prev_delta=next_delta)
+        return new_st, None
+
+    st, _ = jax.lax.scan(body, st, None, length=max_depth)
+    return st.L, st.depth > 0
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth"))
+def render_volpath(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
+                   max_depth: int = 6, rr_depth: int = 5):
+    sensor = scene.sensors[sensor_idx]
+    n = sensor.width * sensor.height * spp
+    sampler = smp.seed(jnp.asarray(seed, jnp.uint32), n,
+                       kind=scene.static.sampler_kind, spp=spp)
+    sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+    L, valid = sample_volpath(scene, sampler, ray, max_depth, rr_depth)
+    value = L * weight
+    if sensor.rfilter == "box":
+        return films.accumulate_coalesced(value, sensor.width, sensor.height,
+                                          spp)
+    data, w = films.splat(pos, value, sensor.width, sensor.height,
+                          sensor.rfilter)
+    return films.develop(data, w)

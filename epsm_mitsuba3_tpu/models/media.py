@@ -1,0 +1,115 @@
+"""Participating media + phase functions.
+
+TPU analog of src/render/{medium,phase}.cpp and the plugins
+src/media/{homogeneous,heterogeneous}.cpp, src/phase/{isotropic,hg,
+rayleigh}.cpp.  Media live in an SoA table; a per-lane ``medium_index``
+(-1 = vacuum) is threaded through the volumetric path loop and switched on
+dielectric transmission events.  ``heterogeneous`` media are represented
+by a grid texture modulating sigma_t with majorant-based free-flight
+sampling (delta tracking) — the grid evaluation shares the Texture
+machinery.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp
+
+PHASE_ISOTROPIC = 0
+PHASE_HG = 1
+PHASE_RAYLEIGH = 2
+
+PHASE_NAMES = {"isotropic": PHASE_ISOTROPIC, "hg": PHASE_HG,
+               "rayleigh": PHASE_RAYLEIGH}
+
+KIND_HOMOGENEOUS = 0
+KIND_HETEROGENEOUS = 1
+
+MEDIUM_NAMES = {"homogeneous": KIND_HOMOGENEOUS,
+                "heterogeneous": KIND_HETEROGENEOUS}
+
+
+def empty_table(n: int) -> Dict[str, jnp.ndarray]:
+    f = jnp.float32
+    return {
+        "kind": jnp.zeros((n,), jnp.int32),
+        "sigma_t": jnp.ones((n, 3), f),
+        "albedo": jnp.full((n, 3), 0.75, f),
+        "scale": jnp.ones((n,), f),
+        "phase_kind": jnp.zeros((n,), jnp.int32),
+        "phase_g": jnp.zeros((n,), f),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase functions (local frame: wi points backwards along the incoming ray)
+# ---------------------------------------------------------------------------
+
+def phase_sample(kind, g, wi_world, s2):
+    """Sample outgoing direction; returns (wo_world, pdf). Mirrors
+    PhaseFunction::sample (phase.h)."""
+    iso_d = warp.square_to_uniform_sphere(s2)
+    iso_pdf = warp.square_to_uniform_sphere_pdf(iso_d)
+
+    # Henyey-Greenstein (hg.cpp): cos_theta relative to the FORWARD dir -wi
+    g_ = jnp.clip(g, -0.99, 0.99)
+    sqr = (1.0 - g_ * g_) / jnp.maximum(
+        1.0 - g_ + 2.0 * g_ * s2[..., 0], 1e-6)
+    cos_t = jnp.where(
+        jnp.abs(g_) < 1e-3,
+        1.0 - 2.0 * s2[..., 0],
+        (1.0 + g_ * g_ - sqr * sqr) / jnp.maximum(2.0 * g_, 1e-6),
+    )
+    sin_t = m.safe_sqrt(1.0 - cos_t * cos_t)
+    phi = 2.0 * jnp.pi * s2[..., 1]
+    fwd = -wi_world
+    s_, t_ = m.coordinate_system(fwd)
+    hg_d = (s_ * (sin_t * jnp.cos(phi))[..., None]
+            + t_ * (sin_t * jnp.sin(phi))[..., None]
+            + fwd * cos_t[..., None])
+    hg_pdf = hg_eval(g_, cos_t)
+
+    is_hg = kind == PHASE_HG
+    wo = jnp.where(is_hg[..., None], hg_d, iso_d)
+    pdf = jnp.where(is_hg, hg_pdf, iso_pdf)
+    return wo, pdf
+
+
+def hg_eval(g, cos_theta):
+    """HG phase value; ``cos_theta`` between the FORWARD direction (-wi)
+    and wo — peaks forward for g > 0 (hg.cpp with its wi sign folded in)."""
+    denom = 1.0 + g * g - 2.0 * g * cos_theta
+    return (1.0 - g * g) / jnp.maximum(
+        4.0 * jnp.pi * denom * m.safe_sqrt(denom), 1e-12)
+
+
+def phase_eval(kind, g, wi_world, wo_world):
+    """PhaseFunction::eval — returns (value, pdf) (equal for these kinds)."""
+    cos_t = m.dot(-wi_world, wo_world)
+    iso = jnp.full(cos_t.shape, 0.25 / jnp.pi)
+    hg = hg_eval(jnp.clip(g, -0.99, 0.99), cos_t)
+    ray = (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_t * cos_t)
+    val = jnp.where(kind == PHASE_HG, hg,
+                    jnp.where(kind == PHASE_RAYLEIGH, ray, iso))
+    return val, val
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous medium interactions
+# ---------------------------------------------------------------------------
+
+def sample_free_flight(sigma_t, u, channel_u):
+    """Sample distance by channel-picked exponential (homogeneous.cpp).
+    Returns (t, channel index)."""
+    ch = jnp.clip((channel_u * 3).astype(jnp.int32), 0, 2)
+    s = jnp.take_along_axis(sigma_t, ch[..., None], -1)[..., 0]
+    t = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / jnp.maximum(s, 1e-20)
+    return t, ch
+
+
+def transmittance(sigma_t, t):
+    return jnp.exp(-sigma_t * jnp.minimum(t, 1e7)[..., None])

@@ -44,6 +44,7 @@ class SceneStatic:
     spp: int = static_field(default=16)
     #: index into scene.textures of the (single) envmap bitmap, or -1
     env_texture: int = static_field(default=-1)
+    sampler_kind: str = static_field(default="independent")
 
 
 @pytree_dataclass
@@ -57,8 +58,11 @@ class Scene:
     shape_emitter: jnp.ndarray  # (S,) int32, -1 if not emissive
     bsdfs: Dict[str, jnp.ndarray]
     emitters: Dict[str, jnp.ndarray]
-    em_faces: jnp.ndarray       # (E, Tmax) int32 global face ids (-1 pad)
-    sensors: Tuple[Sensor, ...]
+    #: participating media table (models/media.py) + per-shape interior
+    media: Dict[str, jnp.ndarray] = None
+    shape_interior: jnp.ndarray = None   # (S,) int32 medium idx or -1
+    em_faces: jnp.ndarray = None  # (E, Tmax) int32 global face ids (-1 pad)
+    sensors: Tuple[Sensor, ...] = ()
     #: textures referenced by BSDFs/emitters (tuple of Texture pytrees)
     textures: Tuple = ()
     #: BVH acceleration structure (None -> brute force for small scenes)
@@ -163,11 +167,14 @@ class _Builder:
         self.bsdf_rows, self.bsdf_names = [], []
         self.bsdf_by_id = {}
         self.em_rows, self.em_names, self.em_shape, self.em_face_list = [], [], [], []
+        self.media_rows = []
+        self.shape_interior = []
         self.sensors = []
         self.textures = []
         self.env_texture = -1
         self.integrator = {"type": "path", "max_depth": 6, "rr_depth": 5}
         self.spp = 16
+        self.sampler_kind = "independent" 
         self._v_off = 0
         self._f_off = 0
 
@@ -232,6 +239,25 @@ class _Builder:
         if "id" in d:
             self.bsdf_by_id[d["id"]] = idx
         return idx
+
+    def add_medium(self, d: dict) -> int:
+        """Participating-medium plugin (src/media/*) -> media table row."""
+        from . import media as med_mod
+        t = d.get("type", "homogeneous")
+        if t not in med_mod.MEDIUM_NAMES:
+            raise ValueError(f"unsupported medium type '{t}'")
+        ph = d.get("phase", {"type": "isotropic"})
+        row = {
+            "kind": med_mod.MEDIUM_NAMES[t],
+            "sigma_t": _rgb(d.get("sigma_t"), (1.0, 1.0, 1.0)),
+            "albedo": _rgb(d.get("albedo"), (0.75, 0.75, 0.75)),
+            "scale": float(d.get("scale", 1.0)),
+            "phase_kind": med_mod.PHASE_NAMES.get(
+                ph.get("type", "isotropic"), 0),
+            "phase_g": float(ph.get("g", 0.0)),
+        }
+        self.media_rows.append(row)
+        return len(self.media_rows) - 1
 
     def default_bsdf(self) -> int:
         return self.add_bsdf({"type": "diffuse"}, f"__default{len(self.bsdf_rows)}")
@@ -322,14 +348,18 @@ class _Builder:
             n = -n
 
         shape_index = len(self.shape_names)
-        # bsdf / emitter children
+        # bsdf / emitter / medium children
         bsdf_idx = -1
         em_idx = -1
+        medium_idx = -1
+        from . import media as med_mod
         for key, val in d.items():
             if not isinstance(val, dict):
                 continue
             vt = val.get("type")
-            if vt == "ref" or key == "bsdf" or vt in bsdf_mod.KIND_NAMES or vt in (
+            if key == "interior" or vt in med_mod.MEDIUM_NAMES:
+                medium_idx = self.add_medium(val)
+            elif vt == "ref" or key == "bsdf" or vt in bsdf_mod.KIND_NAMES or vt in (
                 "twosided", "mask"
             ):
                 bsdf_idx = self.add_bsdf(val, f"{name}.bsdf")
@@ -337,6 +367,7 @@ class _Builder:
                 em_idx = self.add_emitter(val, f"{name}.emitter", shape_index)
         if bsdf_idx < 0:
             bsdf_idx = self.default_bsdf()
+        self.shape_interior.append(medium_idx)
 
         nf = len(f)
         nv = len(v)
@@ -364,6 +395,7 @@ class _Builder:
         rf = film.get("rfilter", {})
         rfk = rf.get("type", "gaussian") if isinstance(rf, dict) else str(rf)
         self.spp = int(sampler.get("sample_count", self.spp))
+        self.sampler_kind = sampler.get("type", self.sampler_kind)
         fov = float(d.get("fov", 45.0))
         self.sensors.append(
             Sensor(
@@ -430,7 +462,18 @@ class _Builder:
             integrator=tuple(sorted(self.integrator.items())),
             spp=self.spp,
             env_texture=self.env_texture,
+            sampler_kind=self.sampler_kind,
         )
+        from . import media as med_mod
+        n_m = max(len(self.media_rows), 1)
+        mtable = med_mod.empty_table(n_m)
+        for i, row in enumerate(self.media_rows):
+            for k, val in row.items():
+                arr = np.array(np.asarray(mtable[k]))
+                arr[i] = val
+                mtable[k] = arr
+        mtable = {k: jnp.asarray(v) for k, v in mtable.items()}
+
         vertices = np.concatenate(self.vertices)
         faces = np.concatenate(self.faces)
         bvh = None
@@ -448,6 +491,8 @@ class _Builder:
             shape_emitter=jnp.asarray(self.shape_emitter, jnp.int32),
             bsdfs=btable,
             emitters=etable,
+            media=mtable,
+            shape_interior=jnp.asarray(self.shape_interior, jnp.int32),
             em_faces=jnp.asarray(em_faces),
             sensors=tuple(self.sensors),
             textures=tuple(self.textures),

@@ -1,0 +1,197 @@
+"""Integrator coverage: direct / aov / moment / volpath / ptracer
+(src/integrators/* analog tests)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import epsm_mitsuba3_tpu as mi
+from scenes import cornell_box, single_quad_direct
+
+
+@pytest.fixture(scope="module")
+def quad_scene():
+    return mi.load_dict(single_quad_direct(res=16, spp=64))
+
+
+def test_direct_matches_path(quad_scene):
+    img_d = np.asarray(mi.render(quad_scene, spp=64, seed=0,
+                                 integrator={"type": "direct"}))
+    img_p = np.asarray(mi.render(quad_scene, spp=64, seed=0,
+                                 integrator={"type": "path", "max_depth": 2}))
+    assert abs(img_d.mean() - img_p.mean()) / img_p.mean() < 0.05
+
+
+def test_aov_channels(cornell_scene):
+    img = np.asarray(mi.render(cornell_scene, spp=2,
+                               integrator={"type": "aov"}))
+    # rgb(3) + depth(1) + sh_normal(3) + position(3) + albedo(3)
+    assert img.shape[-1] == 13
+    assert np.isfinite(img).all()
+    depth = img[16, 16, 3]
+    assert 3.0 < depth < 5.5
+
+
+def test_moment_variance(cornell_scene):
+    img = np.asarray(mi.render(cornell_scene, spp=16,
+                               integrator={"type": "moment",
+                                           "max_depth": 3}))
+    assert img.shape[-1] == 6
+    mean = img[..., :3]
+    second = img[..., 3:]
+    var = second - mean ** 2
+    assert (var > -1e-4).all(), "second moment must dominate mean^2"
+
+
+def test_volpath_vacuum_matches_path(cornell_scene):
+    img_p = np.asarray(mi.render(cornell_scene, spp=32, seed=0,
+                                 integrator={"type": "path", "max_depth": 3}))
+    img_v = np.asarray(mi.render(cornell_scene, spp=32, seed=0,
+                                 integrator={"type": "volpath",
+                                             "max_depth": 3}))
+    assert abs(img_p.mean() - img_v.mean()) / img_p.mean() < 0.05
+
+
+def test_volpath_fog_attenuates():
+    d = cornell_box(res=16, spp=16, max_depth=4)
+    scene0 = mi.load_dict(d)
+    d["fog"] = {
+        "type": "cube",
+        "to_world": mi.ScalarTransform4f.translate([0, 1, 0]).scale(0.6),
+        "bsdf": {"type": "null"},
+        "interior": {"type": "homogeneous",
+                     "sigma_t": {"type": "rgb", "value": 3.0},
+                     "albedo": {"type": "rgb", "value": 0.3}},
+    }
+    scene_f = mi.load_dict(d)
+    img0 = np.asarray(mi.render(scene0, spp=16, seed=0,
+                                integrator={"type": "volpath",
+                                            "max_depth": 4}))
+    imgf = np.asarray(mi.render(scene_f, spp=16, seed=0,
+                                integrator={"type": "volpath",
+                                            "max_depth": 4}))
+    assert np.isfinite(imgf).all()
+    # absorbing fog must darken the image
+    assert imgf.mean() < img0.mean()
+
+
+def test_ptracer_matches_path(quad_scene):
+    from epsm_mitsuba3_tpu.integrators import ptracer
+    img_t = np.asarray(ptracer.render_ptracer(quad_scene, seed=0, spp=256,
+                                              max_depth=2))
+    img_p = np.asarray(mi.render(quad_scene, spp=64, seed=0,
+                                 integrator={"type": "path", "max_depth": 2}))
+    assert abs(img_t.mean() - img_p.mean()) / img_p.mean() < 0.05
+
+
+def test_chi2_phase_hg():
+    from epsm_mitsuba3_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+    from epsm_mitsuba3_tpu.models import media as MED
+
+    g = 0.5
+    wi = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (1, 1))
+
+    def sample_fn(n):
+        k = jax.random.PRNGKey(0)
+        s2 = jax.random.uniform(k, (n, 2))
+        wiw = jnp.tile(wi, (n, 1))
+        wo, _ = MED.phase_sample(jnp.full((n,), MED.PHASE_HG, jnp.int32),
+                                 jnp.full((n,), g), wiw, s2)
+        return np.asarray(wo)
+
+    def pdf_fn(dirs):
+        n = dirs.reshape(-1, 3).shape[0]
+        wiw = jnp.tile(wi, (n, 1))
+        val, _ = MED.phase_eval(jnp.full((n,), MED.PHASE_HG, jnp.int32),
+                                jnp.full((n,), g), wiw, dirs.reshape(-1, 3))
+        return np.asarray(val).reshape(dirs.shape[:-1])
+
+    t = ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn,
+                      sample_count=200_000, res=15)
+    assert t.run(), t.messages
+
+
+def test_chi2_diffuse_bsdf():
+    from epsm_mitsuba3_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+    from epsm_mitsuba3_tpu.models import bsdf as B
+
+    table = B.empty_table(1)
+    table["kind"] = table["kind"].at[0].set(B.KIND_DIFFUSE)
+    wi = jnp.asarray([0.2, -0.3, 0.93])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def sample_fn(n):
+        k = jax.random.PRNGKey(1)
+        s1 = jax.random.uniform(k, (n,))
+        s2 = jax.random.uniform(jax.random.PRNGKey(2), (n, 2))
+        wiw = jnp.tile(wi[None], (n, 1))
+        idx = jnp.zeros((n,), jnp.int32)
+        bs, w, ok = B.sample(table, (B.KIND_DIFFUSE,), idx, wiw, s1, s2)
+        return np.asarray(bs.wo)
+
+    def pdf_fn(dirs):
+        sh = dirs.shape[:-1]
+        d = dirs.reshape(-1, 3)
+        n = d.shape[0]
+        wiw = jnp.tile(wi[None], (n, 1))
+        idx = jnp.zeros((n,), jnp.int32)
+        _, pdf = B.eval_pdf(table, (B.KIND_DIFFUSE,), idx, wiw, d)
+        return np.asarray(pdf).reshape(sh)
+
+    t = ChiSquareTest(SphericalDomain(), sample_fn, pdf_fn,
+                      sample_count=200_000, res=15)
+    assert t.run(), t.messages
+
+
+def test_chi2_roughconductor_bsdf():
+    from epsm_mitsuba3_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+    from epsm_mitsuba3_tpu.models import bsdf as B
+
+    table = B.empty_table(1)
+    table["kind"] = table["kind"].at[0].set(B.KIND_ROUGHCONDUCTOR)
+    table["alpha"] = table["alpha"].at[0].set(0.35)
+    wi = jnp.asarray([0.3, 0.1, 0.95])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def sample_fn(n):
+        s1 = jax.random.uniform(jax.random.PRNGKey(3), (n,))
+        s2 = jax.random.uniform(jax.random.PRNGKey(4), (n, 2))
+        wiw = jnp.tile(wi[None], (n, 1))
+        idx = jnp.zeros((n,), jnp.int32)
+        bs, w, ok = B.sample(table, (B.KIND_ROUGHCONDUCTOR,), idx, wiw,
+                             s1, s2)
+        wo = np.asarray(bs.wo)
+        # rejected samples (below horizon) resample to valid: keep only ok
+        return wo[np.asarray(ok)]
+
+    def pdf_fn(dirs):
+        sh = dirs.shape[:-1]
+        d = dirs.reshape(-1, 3)
+        n = d.shape[0]
+        wiw = jnp.tile(wi[None], (n, 1))
+        idx = jnp.zeros((n,), jnp.int32)
+        _, pdf = B.eval_pdf(table, (B.KIND_ROUGHCONDUCTOR,), idx, wiw, d)
+        return np.asarray(pdf).reshape(sh)
+
+    def sample_normalized(n):
+        s = sample_fn(int(n * 1.05) + 64)
+        return s[:n] if len(s) >= n else s
+
+    t = ChiSquareTest(SphericalDomain(), sample_normalized, pdf_fn,
+                      sample_count=200_000, res=15,
+                      significance_level=0.001)
+    # pdf integral != 1 when samples are rejected; normalize expectations
+    t.tabulate_histogram()
+    t.tabulate_pdf()
+    t.pdf_table *= t.histogram.sum() / max(t.pdf_table.sum(), 1e-9)
+    obs = t.histogram.ravel().astype(np.float64)
+    exp = t.pdf_table.ravel().astype(np.float64)
+    small = exp < 5.0
+    obs_m = np.concatenate([obs[~small], [obs[small].sum()]])
+    exp_m = np.concatenate([exp[~small], [exp[small].sum()]])
+    keep = exp_m > 0
+    obs_m, exp_m = obs_m[keep], exp_m[keep]
+    chi2 = float(((obs_m - exp_m) ** 2 / exp_m).sum())
+    from scipy.stats import chi2 as chi2_dist
+    p = float(chi2_dist.sf(chi2, len(obs_m) - 1))
+    assert p > 0.001, (chi2, p)
