@@ -148,8 +148,14 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
 
 
 def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
-                 rr_depth: int):
-    """Replay loop accumulating scene-parameter cotangents."""
+                 rr_depth: int, reparam_cfg=None):
+    """Replay loop accumulating scene-parameter cotangents.
+
+    ``reparam_cfg``: None (detached PRB) or a dict with num_rays/kappa/
+    exponent — enables per-bounce ray reparameterization (prb_reparam.py):
+    the incident direction is warped by the attached warp field and the
+    contribution multiplied by the jacobian determinant, adding visibility
+    (silhouette) gradients the detached estimator misses."""
     n = ray.o.shape[0]
     diff0, rest, treedef = split_scene(scene)
     grads0 = [jnp.zeros_like(d) if d is not None else None for d in diff0]
@@ -157,9 +163,10 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
     st = P.init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
     st = st._replace(L=L_total)
     scene_d = jax.lax.stop_gradient(scene)
+    it0 = jnp.zeros((), jnp.uint32)
 
     def body(carry, _):
-        st, grads = carry
+        st, grads, it = carry
         # --- detached replay of one bounce (identical RNG consumption) ---
         ray_o, ray_d = st.ray_o, st.ray_d
         prev_p, prev_pdf, prev_delta = st.prev_p, st.prev_bsdf_pdf, st.prev_bsdf_delta
@@ -174,12 +181,26 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
 
         def scalar_obj(diff):
             sc = merge_scene(diff, rest, treedef)
+            d_in = ray_d
+            det = None
+            if reparam_cfg is not None:
+                from .reparam import reparameterize_ray
+                rs = smp.seed(it * jnp.uint32(0x9E3779B9) + jnp.uint32(17),
+                              n)
+                _, d_in, det = reparameterize_ray(
+                    sc, rs, Ray.make(ray_o, ray_d), active,
+                    num_rays=int(reparam_cfg.get("num_rays", 4)),
+                    kappa=float(reparam_cfg.get("kappa", 1e5)),
+                    exponent=float(reparam_cfg.get("exponent", 3.0)),
+                )
             lo = _local_contrib(
-                sc, ray_o, ray_d, _pi_of(rec["si"]),
+                sc, ray_o, d_in, _pi_of(rec["si"]),
                 st2.ray_d, beta, prev_p, prev_pdf, prev_delta, active,
                 jax.lax.stop_gradient(L_remaining), s2_peek, max_depth, depth,
                 rr_depth,
             )
+            if det is not None:
+                lo = lo * det[..., None]
             return jnp.sum(lo * dL)
 
         g = jax.grad(scalar_obj)(diff0)
@@ -188,9 +209,10 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
             for a, b in zip(grads, g)
         ]
         st2 = st2._replace(L=L_remaining)
-        return (st2, grads), None
+        return (st2, grads, it + 1), None
 
-    (st, grads), _ = jax.lax.scan(body, (st, grads0), None, length=max_depth)
+    (st, grads, _), _ = jax.lax.scan(body, (st, grads0, it0), None,
+                                     length=max_depth)
     return grads
 
 
@@ -210,15 +232,15 @@ def _pi_of(si):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
-                                             "rr_depth"))
+                                             "rr_depth", "reparam"))
 def render_prb(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
-               max_depth: int = 6, rr_depth: int = 5):
-    fn = _make_render(sensor_idx, spp, max_depth, rr_depth)
+               max_depth: int = 6, rr_depth: int = 5, reparam: bool = False):
+    fn = _make_render(sensor_idx, spp, max_depth, rr_depth, reparam)
     return fn(scene, jnp.asarray(seed, jnp.uint32))
 
 
 @functools.lru_cache(maxsize=None)
-def _make_render(sensor_idx, spp, max_depth, rr_depth):
+def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False):
     @jax.custom_vjp
     def render_fn(scene, seed):
         return _primal(scene, seed)
@@ -244,8 +266,9 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth):
         dL = film_adjoint(g_img, pos, weight, sensor, spp, n)
         # primal replay for L_total (2-pass RB, common.py:574-974)
         L_total, _ = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
-        grads = prb_backward(scene, sampler, ray, dL, L_total, max_depth,
-                             rr_depth)
+        grads = prb_backward(
+            scene, sampler, ray, dL, L_total, max_depth, rr_depth,
+            reparam_cfg={} if reparam else None)
         # assemble scene cotangent
         diff0, rest, treedef = split_scene(scene)
         leaves = []

@@ -58,12 +58,14 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
     kind = cfg["type"]
     if spp == 0:
         spp = scene.static.spp
-    if kind in ("path", "prb", "prb_basic", "prb_reparam"):
+    if kind in ("path", "prb", "prb_basic", "prb_reparam",
+                "emission_reparam"):
         from . import prb
         return prb.render_prb(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)),
+            reparam=kind.endswith("reparam"),
         )
     if kind in ("manifold", "manifold_caustic"):
         from ..integrators import epsm

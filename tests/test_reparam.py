@@ -1,0 +1,81 @@
+"""Ray-reparameterization tests (ad/reparam.py — test_reparameterization.py
+analog): detached PRB misses silhouette gradients; prb_reparam recovers
+them with the correct sign and magnitude class."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import epsm_mitsuba3_tpu as mi
+
+T = None
+
+
+def _make(dx=0.0):
+    global T
+    T = mi.ScalarTransform4f
+    return mi.load_dict({
+        "type": "scene",
+        "sensor": {
+            "type": "perspective", "fov": 45.0,
+            "to_world": T.look_at(origin=[0, 3, 3], target=[0, 0, 0],
+                                  up=[0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": 16},
+        },
+        "floor": {"type": "rectangle",
+                  "to_world": T.scale(2).rotate([1, 0, 0], -90),
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb", "value": 0.8}}},
+        "blocker": {"type": "rectangle",
+                    "to_world": T.translate([dx, 1.0, 0])
+                    .rotate([1, 0, 0], -90).scale(0.4),
+                    "bsdf": {"type": "diffuse",
+                             "reflectance": {"type": "rgb", "value": 0.3}}},
+        "light": {"type": "rectangle",
+                  "to_world": T.translate([0, 2.5, 0])
+                  .rotate([1, 0, 0], 90).scale(0.3),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb", "value": 30.0}}},
+    })
+
+
+@pytest.mark.slow
+def test_reparam_recovers_silhouette_gradient():
+    scene0 = _make()
+    bi = list(scene0.static.shape_names).index("blocker")
+    s, c = scene0.static.vertex_ranges[bi]
+    wx = jnp.linspace(0, 1, 24)[None, :, None]
+
+    def loss_dx(dx, kind):
+        sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
+        img = mi.render(sc, spp=16, seed=0,
+                        integrator={"type": kind, "max_depth": 2})
+        return jnp.sum(img * wx)
+
+    def loss_hi(dx):
+        sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
+        img = mi.render(sc, spp=256, seed=0,
+                        integrator={"type": "path", "max_depth": 2})
+        return float(jnp.sum(img * wx))
+
+    eps = 0.05
+    fd = (loss_hi(eps) - loss_hi(-eps)) / (2 * eps)
+    g_prb = float(jax.grad(lambda dx: loss_dx(dx, "prb"))(jnp.asarray(0.0)))
+    g_rep = float(jax.grad(lambda dx: loss_dx(dx, "prb_reparam"))(
+        jnp.asarray(0.0)))
+    assert abs(g_prb) < 0.1 * abs(fd), "detached PRB should miss this"
+    assert np.sign(g_rep) == np.sign(fd)
+    assert 0.3 * abs(fd) < abs(g_rep) < 3.0 * abs(fd), (g_rep, fd)
+
+
+def test_vmf_sampling_density():
+    from epsm_mitsuba3_tpu.ad.reparam import square_to_von_mises_fisher
+    k = jax.random.PRNGKey(0)
+    s = jax.random.uniform(k, (100_000, 2))
+    kappa = 100.0
+    d = np.asarray(square_to_von_mises_fisher(s, kappa))
+    assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+    # E[z] for vMF = coth(kappa) - 1/kappa ~ 1 - 1/kappa for large kappa
+    assert abs(d[:, 2].mean() - (1.0 - 1.0 / kappa)) < 2e-3
