@@ -114,9 +114,19 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
 
 
 def gather_params(table: Dict[str, jnp.ndarray], idx: jnp.ndarray):
-    """Per-lane parameter gather; idx (N,) -> each field (N, ...)."""
+    """Per-lane parameter gather; idx (N,) -> each field (N, ...).
+    One-hot matmul for the float fields (ops/gather.py)."""
+    from ..ops.gather import take_rows, take_rows_int
     safe = jnp.maximum(idx, 0)
-    return {k: v[safe] for k, v in table.items()}
+    out = {}
+    for k, v in table.items():
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            out[k] = take_rows(v, safe)
+        elif v.dtype == jnp.bool_:
+            out[k] = take_rows_int(v.astype(jnp.int32), safe).astype(jnp.bool_)
+        else:
+            out[k] = take_rows_int(v.astype(jnp.int32), safe).astype(v.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -607,4 +617,8 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
 
 
 def flags_of(table, bsdf_idx):
-    return table["flags"][jnp.maximum(bsdf_idx, 0)]
+    from ..ops.gather import take_rows_int
+    # uint32 flags fit exactly in f32 for the bit patterns used (< 2^24)
+    return take_rows_int(
+        table["flags"].astype(jnp.int32), jnp.maximum(bsdf_idx, 0)
+    ).astype(jnp.uint32)

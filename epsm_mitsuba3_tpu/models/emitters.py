@@ -111,7 +111,12 @@ def sample_direction(
     s2 = jnp.stack([u0r, sample2[..., 1]], axis=-1)
     pick_pdf = 1.0 / n_em
 
-    p_em = {k: v[em_idx] for k, v in table.items()}
+    from ..ops.gather import take_rows, take_rows_int
+    p_em = {
+        k: (take_rows(v, em_idx) if jnp.issubdtype(v.dtype, jnp.floating)
+            else take_rows_int(v.astype(jnp.int32), em_idx).astype(v.dtype))
+        for k, v in table.items()
+    }
 
     ds_out = None
     spec_out = None
@@ -164,26 +169,29 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
                  total_area):
     """Area emitter sample_direction via uniform-area mesh sampling
     (area.cpp:94-117 -> mesh.cpp:530-560)."""
-    my_cdf = cdf[em_idx]                      # (N, Tmax)
+    from ..ops.gather import take_rows
+    my_cdf = take_rows(cdf, em_idx)           # (N, Tmax)
     u = s2[..., 0]
-    tri_slot = jax.vmap(
-        lambda c, x: jnp.searchsorted(c, x, side="right")
-    )(my_cdf, u)
+    # branchless right-bisect: #{i: cdf[i] <= u} — a vmapped searchsorted
+    # lowers to a per-lane loop on TPU, this is one vectorized compare+sum
+    tri_slot = jnp.sum((my_cdf <= u[..., None]).astype(jnp.int32), axis=-1)
     tmax = em_faces.shape[1]
     tri_slot = jnp.clip(tri_slot, 0, tmax - 1)
-    face_id = em_faces[em_idx, tri_slot]
+    from ..ops.gather import take_rows, take_rows_int
+    flat_slot = em_idx * tmax + tri_slot
+    face_id = take_rows_int(em_faces.reshape(-1), flat_slot)
     face_id_safe = jnp.maximum(face_id, 0)
-    f = faces[face_id_safe]
-    p0 = vertices[f[:, 0]]
-    p1 = vertices[f[:, 1]]
-    p2 = vertices[f[:, 2]]
+    nf = faces.shape[0]
+    tri = vertices[faces]                       # (F,3,3) differentiable
+    tri_n = take_rows(tri.reshape(nf, 9), face_id_safe).reshape(-1, 3, 3)
+    p0 = tri_n[:, 0]
+    p1 = tri_n[:, 1]
+    p2 = tri_n[:, 2]
     # sample uniform barycentrics; reuse second dim + rescaled first
-    lo = jnp.where(
-        tri_slot > 0,
-        jnp.take_along_axis(my_cdf, jnp.maximum(tri_slot - 1, 0)[..., None], -1)[..., 0],
-        0.0,
-    )
-    hi = jnp.take_along_axis(my_cdf, tri_slot[..., None], -1)[..., 0]
+    from ..ops.gather import take_along2
+    lo = jnp.where(tri_slot > 0,
+                   take_along2(my_cdf, jnp.maximum(tri_slot - 1, 0)), 0.0)
+    hi = take_along2(my_cdf, tri_slot)
     u_r = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
     b = warp.square_to_uniform_triangle(jnp.stack([u_r, s2[..., 1]], -1))
     pos = p0 * (1.0 - b[..., 0:1] - b[..., 1:2]) + p1 * b[..., 0:1] + p2 * b[..., 1:2]
@@ -195,7 +203,8 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
     d = dvec / jnp.maximum(dist, 1e-20)[..., None]
     cos_em = m.dot(-d, nrm)
     # solid-angle pdf = dist^2 / (cos * area_total)
-    area = total_area[em_idx]
+    from ..ops.gather import take_rows
+    area = take_rows(total_area[:, None], em_idx)[..., 0]
     pdf = jnp.where(
         cos_em > 1e-7, dist2 / jnp.maximum(cos_em * area, 1e-20), 0.0
     )
@@ -268,11 +277,14 @@ def _envmap_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
     col_cdf = jnp.cumsum(wgt, axis=1)
     col_cdf = col_cdf / col_cdf[:, -1:]
 
+    # shared-array searchsorted (vectorized binary search) for the rows;
+    # flattened joint cdf for the column pick would also work — the row
+    # conditional is gathered per lane, so use the branchless count there
     y = jnp.clip(jnp.searchsorted(row_cdf, s2[..., 1], side="right"), 0, h - 1)
     ccdf_y = col_cdf[y]                                  # (N, W)
     x = jnp.clip(
-        jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(
-            ccdf_y, s2[..., 0]), 0, w - 1)
+        jnp.sum((ccdf_y <= s2[..., 0][..., None]).astype(jnp.int32), -1),
+        0, w - 1)
     # continuous offset inside the texel
     u = (x.astype(jnp.float32) + 0.5) / w
     v = (y.astype(jnp.float32) + 0.5) / h
@@ -338,12 +350,14 @@ def pdf_direction(
     """Scene::pdf_emitter_direction (scene.cpp:286-331) for MIS: the
     solid-angle NEE pdf of having sampled direction ``d`` that hit emitter
     ``hit_emitter_idx`` at ``hit_p``/``hit_n``."""
+    from ..ops.gather import take_rows
     n_em = table["kind"].shape[0]
-    kind = table["kind"][jnp.maximum(hit_emitter_idx, 0)]
+    safe_idx = jnp.maximum(hit_emitter_idx, 0)
+    kind = take_rows(table["kind"][:, None], safe_idx)[..., 0]
     pdf = jnp.zeros(ref_p.shape[:-1], ref_p.dtype)
     if KIND_AREA in kinds_present or KIND_DIRECTIONALAREA in kinds_present:
         _, total_area = area_emitter_data(vertices, faces, em_faces)
-        area = total_area[jnp.maximum(hit_emitter_idx, 0)]
+        area = take_rows(total_area[:, None], safe_idx)[..., 0]
         dvec = hit_p - ref_p
         dist2 = m.squared_norm(dvec)
         cos_em = m.dot(-d, hit_n)
@@ -371,8 +385,10 @@ def pdf_direction(
 def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
     """Area emitter L on direct hit (area.cpp ``eval``): radiance if the
     hit is on the emissive (front) side."""
-    rad = table["radiance"][jnp.maximum(si_emitter_idx, 0)]
-    kind = table["kind"][jnp.maximum(si_emitter_idx, 0)]
+    from ..ops.gather import take_rows
+    safe = jnp.maximum(si_emitter_idx, 0)
+    rad = take_rows(table["radiance"], safe)
+    kind = take_rows(table["kind"][:, None], safe)[..., 0]
     is_area = (kind == KIND_AREA) | (kind == KIND_DIRECTIONALAREA)
     vis = (si_emitter_idx >= 0) & is_area & (wi_local_z > 0.0)
     return jnp.where(vis[..., None], rad, 0.0)

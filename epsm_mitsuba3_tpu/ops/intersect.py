@@ -66,6 +66,7 @@ def ray_intersect_brute(ray: Ray, vertices, faces,
     verts = jax.lax.stop_gradient(vertices)
     nf = faces.shape[0]
     n = o.shape[0]
+    chunk = min(chunk, nf)  # don't pad tiny scenes up to the chunk width
     nchunks = max(1, -(-nf // chunk))
     pad = nchunks * chunk - nf
     faces_p = jnp.concatenate(
@@ -79,33 +80,38 @@ def ray_intersect_brute(ray: Ray, vertices, faces,
     tv = tri_valid.reshape(nchunks, chunk)
 
     def body(carry, tri_chunk):
-        best_t, best_uv, best_idx = carry
+        best_t, best_idx = carry
         cp0, cp1, cp2, cvalid, base = tri_chunk
         t, u, v, hit = moeller_trumbore(
             o[:, None, :], d[:, None, :], cp0[None], cp1[None], cp2[None]
         )  # (N, C)
         hit = hit & cvalid[None, :] & (t > 1e-6) & (t < ray.maxt[:, None])
         t = jnp.where(hit, t, jnp.inf)
+        # min + argmin reductions only — per-lane take_along_axis gathers
+        # are scalar-core bound on TPU; barycentrics are recomputed from
+        # the winning triangle in compute_surface_interaction
         amin = jnp.argmin(t, axis=1)
-        tmin = jnp.take_along_axis(t, amin[:, None], 1)[:, 0]
+        tmin = jnp.min(t, axis=1)
         closer = tmin < best_t
         new_t = jnp.where(closer, tmin, best_t)
-        uvs = jnp.stack(
-            [jnp.take_along_axis(u, amin[:, None], 1)[:, 0],
-             jnp.take_along_axis(v, amin[:, None], 1)[:, 0]], -1
-        )
-        new_uv = jnp.where(closer[:, None], uvs, best_uv)
         new_idx = jnp.where(closer, base + amin.astype(jnp.int32), best_idx)
-        return (new_t, new_uv, new_idx), None
+        return (new_t, new_idx), None
 
     init = (
         jnp.full((n,), jnp.inf, o.dtype),
-        jnp.zeros((n, 2), o.dtype),
         jnp.full((n,), -1, jnp.int32),
     )
     bases = (jnp.arange(nchunks) * chunk).astype(jnp.int32)
-    (t, uv, idx), _ = jax.lax.scan(body, init, (p0, p1, p2, tv, bases))
+    (t, idx), _ = jax.lax.scan(body, init, (p0, p1, p2, tv, bases))
     valid = idx >= 0
+    # primal (u, v) of the winning triangle (one MT re-evaluation through
+    # the small-table select gather — cheaper than in-loop take_along)
+    from .gather import take_rows
+    tri = verts[faces_p].reshape(-1, 9)
+    tri_n = take_rows(tri, jnp.maximum(idx, 0)).reshape(-1, 3, 3)
+    _, u, v, _ = moeller_trumbore(o, d, tri_n[:, 0], tri_n[:, 1],
+                                  tri_n[:, 2])
+    uv = jnp.where(valid[:, None], jnp.stack([u, v], -1), 0.0)
     return PreliminaryIntersection(
         t=t, prim_uv=uv, prim_index=jnp.maximum(idx, 0), valid=valid
     )
@@ -117,6 +123,7 @@ def ray_test_brute(ray: Ray, vertices, faces, chunk: int = 512) -> jnp.ndarray:
     d = jax.lax.stop_gradient(ray.d)
     verts = jax.lax.stop_gradient(vertices)
     nf = faces.shape[0]
+    chunk = min(chunk, nf)
     nchunks = max(1, -(-nf // chunk))
     pad = nchunks * chunk - nf
     faces_p = jnp.concatenate(
@@ -156,11 +163,17 @@ def compute_surface_interaction(
     * FollowShape: barycentrics are detached — si.p rigidly follows the
       triangle (used for diffuse-receiver gradients, epsm.py:561-562).
     """
+    from .gather import take_rows, take_rows_int
+
     fidx = pi.prim_index
-    f = scene.faces[fidx]                       # (N,3)
-    p0 = scene.vertices[f[:, 0]]
-    p1 = scene.vertices[f[:, 1]]
-    p2 = scene.vertices[f[:, 2]]
+    # per-face tables gathered once (F rows, cheap) so the per-lane access
+    # is a single one-hot matmul on the MXU for small scenes
+    nf = scene.faces.shape[0]
+    tri = scene.vertices[scene.faces]           # (F, 3, 3), differentiable
+    tri_n = take_rows(tri.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+    p0 = tri_n[:, 0]
+    p1 = tri_n[:, 1]
+    p2 = tri_n[:, 2]
 
     if ray_flags & RayFlags.DetachShape:
         p0 = jax.lax.stop_gradient(p0)
@@ -194,9 +207,11 @@ def compute_surface_interaction(
     ng = m.normalize(jnp.cross(p1 - p0, p2 - p0))
 
     # shading normals: interpolated vertex normals where available
-    n0 = scene.normals[f[:, 0]]
-    n1 = scene.normals[f[:, 1]]
-    n2 = scene.normals[f[:, 2]]
+    nrm = scene.normals[scene.faces]            # (F, 3, 3)
+    nrm_n = take_rows(nrm.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+    n0 = nrm_n[:, 0]
+    n1 = nrm_n[:, 1]
+    n2 = nrm_n[:, 2]
     if ray_flags & RayFlags.DetachShape:
         n0 = jax.lax.stop_gradient(n0)
         n1 = jax.lax.stop_gradient(n1)
@@ -209,16 +224,22 @@ def compute_surface_interaction(
     ns = ns * m.safe_rsqrt(m.squared_norm(ns))[:, None]
 
     # uv texture coords
-    uv0 = scene.uvs[f[:, 0]]
-    uv1 = scene.uvs[f[:, 1]]
-    uv2 = scene.uvs[f[:, 2]]
-    uv = uv0 * b0[:, None] + uv1 * b1[:, None] + uv2 * b2[:, None]
+    uvt = scene.uvs[scene.faces]                # (F, 3, 2)
+    uvt_n = take_rows(uvt.reshape(nf, 6), fidx).reshape(-1, 3, 2)
+    uv = (uvt_n[:, 0] * b0[:, None] + uvt_n[:, 1] * b1[:, None]
+          + uvt_n[:, 2] * b2[:, None])
 
     sh_s, sh_t = m.coordinate_system(ns)
 
-    shape_idx = scene.face_shape[fidx]
-    bsdf_idx = scene.shape_bsdf[shape_idx]
-    emitter_idx = scene.shape_emitter[shape_idx]
+    # face -> (shape, bsdf, emitter) in one small-table lookup
+    face_meta = jnp.stack(
+        [scene.face_shape,
+         scene.shape_bsdf[scene.face_shape],
+         scene.shape_emitter[scene.face_shape]], -1)   # (F, 3) int32
+    meta_n = take_rows_int(face_meta, fidx)
+    shape_idx = meta_n[:, 0]
+    bsdf_idx = meta_n[:, 1]
+    emitter_idx = meta_n[:, 2]
 
     wi_world = -ray.d
     wi = m.to_local(ns, sh_s, sh_t, wi_world)
