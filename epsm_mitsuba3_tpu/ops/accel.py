@@ -20,8 +20,16 @@ def use_brute_force(scene) -> bool:
     ) is None
 
 
+def _on_tpu() -> bool:
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def ray_intersect(scene, ray):
     if use_brute_force(scene):
+        if _on_tpu() and ray.o.shape[0] >= 4096:
+            from . import pallas_intersect as PI
+            return PI.ray_intersect_pallas(ray, scene.vertices, scene.faces)
         return I.ray_intersect_brute(ray, scene.vertices, scene.faces)
     from . import traverse as T
     return T.bvh_ray_intersect(scene, ray)
@@ -29,6 +37,9 @@ def ray_intersect(scene, ray):
 
 def ray_test(scene, ray):
     if use_brute_force(scene):
+        if _on_tpu() and ray.o.shape[0] >= 4096:
+            from . import pallas_intersect as PI
+            return PI.ray_test_pallas(ray, scene.vertices, scene.faces)
         return I.ray_test_brute(ray, scene.vertices, scene.faces)
     from . import traverse as T
     return T.bvh_ray_test(scene, ray)
