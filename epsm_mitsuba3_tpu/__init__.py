@@ -17,6 +17,8 @@ Public API mirrors ``import mitsuba as mi`` where it makes sense:
 
 from .config import set_variant, variant, config  # noqa: F401
 from .core.transform import ScalarTransform4f, Transform4f  # noqa: F401
+from .core.xmlparse import load_file, load_string  # noqa: F401
+from .core.bitmap import Bitmap, read_image, write_image  # noqa: F401
 from .models.scene import Scene, load_dict, traverse, SceneParameters  # noqa: F401
 from .models.bsdf import BSDFFlags, has_flag  # noqa: F401
 from .models.records import (Ray, RayFlags, SurfaceInteraction,  # noqa: F401

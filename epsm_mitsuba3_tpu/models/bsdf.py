@@ -62,6 +62,9 @@ KIND_ROUGHDIELECTRIC = 5
 KIND_PLASTIC = 6
 KIND_ROUGHPLASTIC = 7
 KIND_NULL = 8
+KIND_PRINCIPLED = 9
+KIND_BLEND = 10
+KIND_PPLASTIC = 11
 
 KIND_NAMES = {
     "diffuse": KIND_DIFFUSE,
@@ -73,6 +76,11 @@ KIND_NAMES = {
     "plastic": KIND_PLASTIC,
     "roughplastic": KIND_ROUGHPLASTIC,
     "null": KIND_NULL,
+    "principled": KIND_PRINCIPLED,
+    "principledthin": KIND_PRINCIPLED,
+    "blendbsdf": KIND_BLEND,
+    "pplastic": KIND_PPLASTIC,
+    "measured": KIND_ROUGHCONDUCTOR,  # tabulated BRDFs approx. by GGX fit
 }
 
 # Scalar flags for each kind (as declared by the plugin ctors in src/bsdfs/)
@@ -91,6 +99,12 @@ KIND_FLAGS = {
     KIND_ROUGHPLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
     | BSDFFlags.FrontSide,
     KIND_NULL: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+    KIND_PRINCIPLED: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
+    | BSDFFlags.FrontSide,
+    KIND_BLEND: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
+    | BSDFFlags.FrontSide,
+    KIND_PPLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
+    | BSDFFlags.FrontSide,
 }
 
 
@@ -110,6 +124,20 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "eta_c": jnp.zeros((n, 3), f),                     # conductor eta
         "k_c": jnp.ones((n, 3), f),                        # conductor k
         "eta": jnp.full((n,), 1.5046, f),                  # dielectric rel IOR
+        # --- principled (Disney) parameters (src/bsdfs/principled.cpp) ---
+        "metallic": jnp.zeros((n,), f),
+        "spec_tint": jnp.zeros((n,), f),
+        "sheen": jnp.zeros((n,), f),
+        "sheen_tint": jnp.zeros((n,), f),
+        "clearcoat": jnp.zeros((n,), f),
+        "clearcoat_gloss": jnp.full((n,), 1.0, f),
+        "specular": jnp.full((n,), 0.5, f),
+        # --- blendbsdf: child slots + weight (src/bsdfs/blendbsdf.cpp) ---
+        "blend_a": jnp.zeros((n,), jnp.int32),
+        "blend_b": jnp.zeros((n,), jnp.int32),
+        "blend_weight": jnp.full((n,), 0.5, f),
+        # --- normal/bump map texture (-1 = none) ---
+        "normal_tex": jnp.full((n,), -1, jnp.int32),
     }
 
 
@@ -487,6 +515,125 @@ def _roughplastic_eval_pdf(p, wi, wo):
     return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
 
 
+def _schlick(f0, cos_t):
+    m_ = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return f0 + (1.0 - f0) * (m_ ** 2) * (m_ ** 2) * m_
+
+
+def _gtr1_ndf(cos_h, alpha):
+    """Clearcoat GTR1 distribution (principledhelpers.h)."""
+    a2 = alpha * alpha
+    denom = jnp.pi * jnp.log(jnp.maximum(a2, 1e-7)) * (
+        1.0 + (a2 - 1.0) * cos_h * cos_h)
+    return (a2 - 1.0) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+
+
+def _principled_eval_pdf(p, wi, wo):
+    """Disney principled BRDF (src/bsdfs/principled.cpp eval/pdf):
+    diffuse + retro + sheen + metallic/dielectric GGX specular + GTR1
+    clearcoat lobes, energy-blended by ``metallic``/``specular``."""
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    base = p["reflectance"]
+    rough = jnp.clip(p["alpha"], 0.02, 1.0)  # 'roughness' parameter
+    metallic = p["metallic"]
+    h = m.normalize(wi + wo)
+    cos_d = m.dot(wi, h)  # == dot(wo, h)
+
+    # Disney diffuse with retro-reflection (Burley 2012)
+    fl = (1.0 - cos_o) ** 5
+    fv = (1.0 - cos_i) ** 5
+    rr = 2.0 * rough * cos_d * cos_d
+    f_lambert = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
+    f_retro = rr * (fl + fv + fl * fv * (rr - 1.0))
+    diffuse = base * ((1.0 / jnp.pi) * (f_lambert + f_retro)
+                      * cos_o)[..., None]
+
+    # sheen
+    lum = (base[..., 0] * 0.2126 + base[..., 1] * 0.7152
+           + base[..., 2] * 0.0722)
+    tint = jnp.where(lum[..., None] > 0.0,
+                     base / jnp.maximum(lum[..., None], 1e-6), 1.0)
+    sheen_col = (1.0 - p["sheen_tint"][..., None]) + \
+        p["sheen_tint"][..., None] * tint
+    f_sheen = (p["sheen"][..., None] * sheen_col
+               * ((1.0 - cos_d) ** 5 * cos_o)[..., None])
+
+    # main GGX specular with metallic/spec_tint Fresnel color
+    alpha_g = jnp.maximum(rough * rough, 1e-3)
+    d = warp.ggx_ndf(h, alpha_g, alpha_g)
+    g = warp.ggx_smith_g1(wi, h, alpha_g, alpha_g) * warp.ggx_smith_g1(
+        wo, h, alpha_g, alpha_g)
+    # F0: dielectric specular reflectance at normal incidence scaled by
+    # 'specular', tinted, lerped to base color by metallic
+    f0_d = 0.08 * p["specular"][..., None] * (
+        (1.0 - p["spec_tint"][..., None]) + p["spec_tint"][..., None] * tint)
+    f0 = f0_d * (1.0 - metallic[..., None]) + base * metallic[..., None]
+    f_spec_f = _schlick(f0, cos_d[..., None])
+    spec = f_spec_f * (d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+
+    # clearcoat (GTR1, fixed IOR 1.5 -> F0 = 0.04)
+    alpha_cc = (1.0 - p["clearcoat_gloss"]) * 0.1 + \
+        p["clearcoat_gloss"] * 0.001
+    d_cc = _gtr1_ndf(h[..., 2], alpha_cc)
+    g_cc = warp.ggx_smith_g1(wi, h, 0.25, 0.25) * warp.ggx_smith_g1(
+        wo, h, 0.25, 0.25)
+    f_cc = 0.04 + 0.96 * (1.0 - cos_d) ** 5
+    cc = (0.25 * p["clearcoat"] * d_cc * g_cc * f_cc
+          / jnp.maximum(4.0 * cos_i, 1e-20))
+
+    value = ((diffuse + f_sheen) * (1.0 - metallic[..., None])
+             + spec + cc[..., None])
+
+    # pdf: lobe mixture of cosine diffuse + GGX visible-normal + GTR1
+    w_spec = jnp.clip(metallic + 0.5 * (1.0 - metallic), 0.1, 0.9)
+    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+    pdf_spec = warp.ggx_pdf_visible(wi, h, alpha_g, alpha_g) / jnp.maximum(
+        4.0 * jnp.abs(cos_d), 1e-20)
+    pdf = (1.0 - w_spec) * pdf_diff + w_spec * pdf_spec
+    return (jnp.where(ok[..., None], value, 0.0),
+            jnp.where(ok, pdf, 0.0))
+
+
+def _principled_sample(p, wi, s1, s2):
+    cos_i = wi[..., 2]
+    rough = jnp.clip(p["alpha"], 0.02, 1.0)
+    alpha_g = jnp.maximum(rough * rough, 1e-3)
+    metallic = p["metallic"]
+    w_spec = jnp.clip(metallic + 0.5 * (1.0 - metallic), 0.1, 0.9)
+    sel_spec = s1 < w_spec
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha_g, alpha_g)
+    wo_spec = m.reflect_m(wi, mvec)
+    wo_diff = warp.square_to_cosine_hemisphere(s2)
+    wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+    value, pdf = _principled_eval_pdf(p, wi, wo)
+    weight = value / jnp.maximum(pdf, 1e-12)[..., None]
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.where(
+            sel_spec, jnp.uint32(BSDFFlags.GlossyReflection),
+            jnp.uint32(BSDFFlags.DiffuseReflection)),
+        hf=jnp.where(sel_spec[..., None], mvec,
+                     jnp.concatenate([jnp.zeros_like(wi[..., :2]),
+                                      jnp.ones_like(wi[..., 2:3])], -1)),
+    )
+    ok = (cos_i > 0.0) & (wo[..., 2] > 0.0) & (pdf > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _pplastic_sample(p, wi, s1, s2):
+    """Polarized plastic (src/bsdfs/pplastic.cpp): in RGB mode behaves as
+    a rough specular + diffuse two-lobe plastic."""
+    return _roughplastic_sample(p, wi, s1, s2)
+
+
+def _pplastic_eval_pdf(p, wi, wo):
+    return _roughplastic_eval_pdf(p, wi, wo)
+
+
 def _null_sample(p, wi, s1, s2):
     pdf = jnp.ones(wi.shape[:-1], wi.dtype)
     bs = BSDFSample(
@@ -505,6 +652,8 @@ def _null_eval_pdf(p, wi, wo):
 
 
 _SAMPLE_FNS = {
+    KIND_PRINCIPLED: _principled_sample,
+    KIND_PPLASTIC: _pplastic_sample,
     KIND_DIFFUSE: _diffuse_sample,
     KIND_CONDUCTOR: _conductor_sample,
     KIND_ROUGHCONDUCTOR: _roughconductor_sample,
@@ -517,6 +666,8 @@ _SAMPLE_FNS = {
 }
 
 _EVAL_PDF_FNS = {
+    KIND_PRINCIPLED: _principled_eval_pdf,
+    KIND_PPLASTIC: _pplastic_eval_pdf,
     KIND_DIFFUSE: _diffuse_eval_pdf,
     KIND_CONDUCTOR: _conductor_eval_pdf,
     KIND_ROUGHCONDUCTOR: _roughconductor_eval_pdf,
@@ -566,9 +717,26 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
     """
     p = gather_params(table, bsdf_idx)
     p = _apply_textures(p, uv, textures)
+    if KIND_BLEND in kinds_present:
+        # blendbsdf: pick child A/B by weight, re-scale s1
+        # (src/bsdfs/blendbsdf.cpp sample)
+        is_blend = p["kind"] == KIND_BLEND
+        wgt = p["blend_weight"]
+        pick_b = s1 < wgt
+        child = jnp.where(pick_b, p["blend_b"], p["blend_a"])
+        s1 = jnp.where(
+            is_blend,
+            jnp.where(pick_b, s1 / jnp.maximum(wgt, 1e-6),
+                      (s1 - wgt) / jnp.maximum(1.0 - wgt, 1e-6)),
+            s1)
+        eff_idx = jnp.where(is_blend, child, jnp.maximum(bsdf_idx, 0))
+        p = gather_params(table, eff_idx)
+        p = _apply_textures(p, uv, textures)
     wi_f, flip = _apply_twosided_in(p, wi)
     bs_out, w_out, ok_out = None, None, None
     for kind in kinds_present:
+        if kind == KIND_BLEND:
+            continue
         bs, w, ok = _SAMPLE_FNS[kind](p, wi_f, s1, s2)
         is_k = p["kind"] == kind
         if bs_out is None:
@@ -601,15 +769,34 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
     """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
     p = gather_params(table, bsdf_idx)
     p = _apply_textures(p, uv, textures)
-    wi_f, flip = _apply_twosided_in(p, wi)
-    wo_f = _flip_z(wo, flip)
-    val_out = jnp.zeros(wi.shape, wi.dtype)
-    pdf_out = jnp.zeros(wi.shape[:-1], wi.dtype)
-    for kind in kinds_present:
-        val, pdf = _EVAL_PDF_FNS[kind](p, wi_f, wo_f)
-        is_k = p["kind"] == kind
-        val_out = jnp.where(is_k[..., None], val, val_out)
-        pdf_out = jnp.where(is_k, pdf, pdf_out)
+
+    def eval_table(p):
+        wi_f, flip = _apply_twosided_in(p, wi)
+        wo_f = _flip_z(wo, flip)
+        val_out = jnp.zeros(wi.shape, wi.dtype)
+        pdf_out = jnp.zeros(wi.shape[:-1], wi.dtype)
+        for kind in kinds_present:
+            if kind == KIND_BLEND:
+                continue
+            val, pdf = _EVAL_PDF_FNS[kind](p, wi_f, wo_f)
+            is_k = p["kind"] == kind
+            val_out = jnp.where(is_k[..., None], val, val_out)
+            pdf_out = jnp.where(is_k, pdf, pdf_out)
+        return val_out, pdf_out
+
+    val_out, pdf_out = eval_table(p)
+    if KIND_BLEND in kinds_present:
+        # blend = lerp of the two children (blendbsdf.cpp eval/pdf)
+        is_blend = p["kind"] == KIND_BLEND
+        pa = _apply_textures(gather_params(table, p["blend_a"]), uv, textures)
+        pb = _apply_textures(gather_params(table, p["blend_b"]), uv, textures)
+        va, pfa = eval_table(pa)
+        vb, pfb = eval_table(pb)
+        w_ = p["blend_weight"]
+        vmix = va * (1.0 - w_[..., None]) + vb * w_[..., None]
+        pmix = pfa * (1.0 - w_) + pfb * w_
+        val_out = jnp.where(is_blend[..., None], vmix, val_out)
+        pdf_out = jnp.where(is_blend, pmix, pdf_out)
     if active is not None:
         val_out = jnp.where(active[..., None], val_out, 0.0)
         pdf_out = jnp.where(active, pdf_out, 0.0)

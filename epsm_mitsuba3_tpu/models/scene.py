@@ -45,6 +45,8 @@ class SceneStatic:
     #: index into scene.textures of the (single) envmap bitmap, or -1
     env_texture: int = static_field(default=-1)
     sampler_kind: str = static_field(default="independent")
+    #: any BSDF carries a bump/normal map texture
+    has_normal_maps: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -203,15 +205,55 @@ class _Builder:
     def add_bsdf(self, d: dict, name: str) -> int:
         if d.get("type") == "ref":
             return self.bsdf_by_id[d["id"]]
+        # bump/normal map wrappers record the perturbation texture before
+        # unwrapping (src/bsdfs/{bumpmap,normalmap}.cpp)
+        normal_tex = -1
+        probe = d
+        while probe.get("type") in ("bumpmap", "normalmap"):
+            for key in ("bumpmap", "normalmap", "texture"):
+                if key in probe and isinstance(probe[key], dict) and \
+                        probe[key].get("type") in ("bitmap", "checkerboard"):
+                    normal_tex = self.add_texture(probe[key])
+            probe = next(
+                (v for k, v in probe.items()
+                 if isinstance(v, dict) and v.get("type") in
+                 bsdf_mod.KIND_NAMES or
+                 (isinstance(v, dict) and v.get("type") == "twosided")),
+                {"type": "diffuse"})
         kind_name, p, twosided = _parse_bsdf(d)
         kind = bsdf_mod.KIND_NAMES[kind_name]
-        refl = p.get("reflectance")
+
+        # blendbsdf: register both children first (blendbsdf.cpp)
+        blend_a = blend_b = 0
+        if kind == bsdf_mod.KIND_BLEND:
+            children = [v for v in p.values()
+                        if isinstance(v, dict) and
+                        (v.get("type") in bsdf_mod.KIND_NAMES
+                         or v.get("type") in ("twosided", "ref"))]
+            if len(children) < 2:
+                raise ValueError("blendbsdf needs two nested BSDFs")
+            blend_a = self.add_bsdf(children[0], f"{name}.bsdf_0")
+            blend_b = self.add_bsdf(children[1], f"{name}.bsdf_1")
+
+        refl = p.get("reflectance", p.get("base_color"))
         refl_tex = -1
         if isinstance(refl, dict) and refl.get("type") in ("bitmap",
                                                            "checkerboard"):
             refl_tex = self.add_texture(refl)
             refl = None
         row = {
+            "metallic": float(p.get("metallic", 0.0)),
+            "spec_tint": float(p.get("spec_tint", 0.0)),
+            "sheen": float(p.get("sheen", 0.0)),
+            "sheen_tint": float(p.get("sheen_tint", 0.0)),
+            "clearcoat": float(p.get("clearcoat", 0.0)),
+            "clearcoat_gloss": float(p.get("clearcoat_gloss", 1.0)),
+            "specular": float(p.get("specular", 0.5)),
+            "blend_a": blend_a,
+            "blend_b": blend_b,
+            "blend_weight": float(p.get("weight", 0.5))
+            if not isinstance(p.get("weight"), dict) else 0.5,
+            "normal_tex": normal_tex,
             "kind": kind,
             "flags": bsdf_mod.KIND_FLAGS[kind]
             | (bsdf_mod.BSDFFlags.BackSide if twosided else 0)
@@ -222,7 +264,9 @@ class _Builder:
             "specular_reflectance": _rgb(p.get("specular_reflectance")),
             "specular_transmittance": _rgb(p.get("specular_transmittance")),
             "diffuse_reflectance": _rgb(p.get("diffuse_reflectance"), (0.5, 0.5, 0.5)),
-            "alpha": float(p.get("alpha", 0.1)),
+            "alpha": float(p.get("alpha", p.get("roughness", 0.1)))
+            if not isinstance(p.get("alpha", p.get("roughness")), dict)
+            else 0.1,
             "eta_c": _rgb(p.get("eta"), (0.0, 0.0, 0.0))
             if kind in (bsdf_mod.KIND_CONDUCTOR, bsdf_mod.KIND_ROUGHCONDUCTOR)
             else np.zeros(3, np.float32),
@@ -463,6 +507,8 @@ class _Builder:
             spp=self.spp,
             env_texture=self.env_texture,
             sampler_kind=self.sampler_kind,
+            has_normal_maps=any(
+                r.get("normal_tex", -1) >= 0 for r in self.bsdf_rows),
         )
         from . import media as med_mod
         n_m = max(len(self.media_rows), 1)

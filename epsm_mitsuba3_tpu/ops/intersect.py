@@ -229,6 +229,22 @@ def compute_surface_interaction(
     uv = (uvt_n[:, 0] * b0[:, None] + uvt_n[:, 1] * b1[:, None]
           + uvt_n[:, 2] * b2[:, None])
 
+    # bump/normal mapping (src/bsdfs/{normalmap,bumpmap}.cpp): perturb the
+    # shading normal by the tangent-space texture before framing
+    if getattr(scene.static, "has_normal_maps", False) and scene.textures:
+        from ..models import textures as tex_mod
+        ntex = take_rows_int(
+            scene.bsdfs["normal_tex"],
+            take_rows_int(scene.shape_bsdf[scene.face_shape], fidx))
+        s0, t0 = m.coordinate_system(ns)
+        flat = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]), uv.shape[:1] + (3,))
+        tval = tex_mod.eval_select(scene.textures, ntex, uv, flat)
+        # local tangent-space normal in [-1,1]
+        tn = tval * 2.0 - 1.0
+        ns_pert = m.normalize(
+            s0 * tn[:, 0:1] + t0 * tn[:, 1:2] + ns * tn[:, 2:3])
+        ns = jnp.where((ntex >= 0)[:, None], ns_pert, ns)
+
     sh_s, sh_t = m.coordinate_system(ns)
 
     # face -> (shape, bsdf, emitter) in one small-table lookup

@@ -1,0 +1,127 @@
+"""Auxiliary-subsystem tests: checkpointing, profiler/kernel history,
+CLI, bitmap I/O, new BSDFs (principled/blend), rotation utils."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import epsm_mitsuba3_tpu as mi
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from epsm_mitsuba3_tpu.ad.optimizers import Adam
+    from epsm_mitsuba3_tpu.utils import checkpoint as ckpt
+
+    opt = Adam(lr=0.1)
+    opt["x"] = jnp.asarray([1.0, 2.0])
+    opt.step({"x": jnp.asarray([0.5, -0.5])})
+    ckpt.save_optimizer(str(tmp_path), 7, opt, seed=3)
+
+    opt2 = Adam(lr=0.1)
+    opt2["x"] = jnp.zeros(2)
+    it = ckpt.load_optimizer(str(tmp_path), opt2)
+    assert it == 8
+    assert np.allclose(np.asarray(opt2["x"]), np.asarray(opt["x"]))
+    assert np.allclose(np.asarray(opt2.state["x"][0]),
+                       np.asarray(opt.state["x"][0]))
+    assert opt2.t["x"] == 1
+
+
+def test_kernel_history_no_recompile(cornell_scene):
+    """test_megakernel.py analog: repeated renders with different seeds
+    must not trigger recompilation (jit cache hit)."""
+    from epsm_mitsuba3_tpu.utils.profiler import KernelHistory
+
+    mi.render(cornell_scene, spp=2, seed=0)  # warm the cache
+    kh = KernelHistory()
+    with kh:
+        for s in range(1, 4):
+            mi.render(cornell_scene, spp=2, seed=s)
+    assert kh.compilations == 0, kh._events
+
+
+def test_cli_renders_xml(tmp_path):
+    xml = """<scene version="3.0.0">
+      <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="to_world">
+          <lookat origin="0, 0, 4" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="16"/><integer name="height" value="16"/>
+          <rfilter type="box"/>
+        </film>
+        <sampler type="independent"><integer name="sample_count" value="4"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="diffuse"><rgb name="reflectance" value="$albedo"/></bsdf>
+      </shape>
+      <emitter type="constant"><rgb name="radiance" value="1"/></emitter>
+    </scene>"""
+    scene_path = tmp_path / "s.xml"
+    scene_path.write_text(xml)
+    out = tmp_path / "out.exr"
+    from epsm_mitsuba3_tpu import cli
+    rc = cli.main([str(scene_path), "-o", str(out), "--spp", "4",
+                   "-D", "albedo=0.5, 0.5, 0.5"])
+    assert rc == 0 and out.exists()
+    img = mi.read_image(str(out)).data
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0
+
+
+def test_principled_energy_and_consistency():
+    from epsm_mitsuba3_tpu.models import bsdf as B
+    tab = B.empty_table(1)
+    tab["kind"] = tab["kind"].at[0].set(B.KIND_PRINCIPLED)
+    tab["alpha"] = tab["alpha"].at[0].set(0.4)
+    tab["metallic"] = tab["metallic"].at[0].set(0.3)
+    n = 50_000
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    s1 = jax.random.uniform(k1, (n,))
+    s2 = jax.random.uniform(k2, (n, 2))
+    wi = jnp.tile(jnp.asarray([[0.2, 0.1, 0.97]]), (n, 1))
+    wi = wi / jnp.linalg.norm(wi[0])
+    idx = jnp.zeros((n,), jnp.int32)
+    bs, w, ok = B.sample(tab, (B.KIND_PRINCIPLED,), idx, wi, s1, s2)
+    ok_np = np.asarray(ok)
+    w_np = np.asarray(w)
+    assert (w_np[ok_np] >= 0).all()
+    assert w_np[ok_np].mean() < 1.2, "energy conservation"
+    val, pdf = B.eval_pdf(tab, (B.KIND_PRINCIPLED,), idx, wi, bs.wo)
+    r = np.asarray(val) / np.maximum(np.asarray(pdf)[:, None], 1e-9)
+    assert abs(r[ok_np].mean() - w_np[ok_np].mean()) < 0.05
+
+
+def test_blend_bsdf_lerp():
+    from epsm_mitsuba3_tpu.models import bsdf as B
+    tab = B.empty_table(3)
+    # slot 0 diffuse bright, slot 1 diffuse dark, slot 2 blend of both
+    tab["kind"] = jnp.asarray([B.KIND_DIFFUSE, B.KIND_DIFFUSE, B.KIND_BLEND])
+    tab["reflectance"] = jnp.asarray([[0.9] * 3, [0.1] * 3, [0.5] * 3])
+    tab["blend_a"] = jnp.asarray([0, 0, 0])
+    tab["blend_b"] = jnp.asarray([0, 0, 1])
+    tab["blend_weight"] = jnp.asarray([0.5, 0.5, 0.25])
+    wi = jnp.asarray([[0.0, 0.0, 1.0]])
+    wo = jnp.asarray([[0.3, 0.0, 0.954]])
+    wo = wo / jnp.linalg.norm(wo[0])
+    kinds = (B.KIND_DIFFUSE, B.KIND_BLEND)
+    va, _ = B.eval_pdf(tab, kinds, jnp.asarray([0]), wi, wo)
+    vb, _ = B.eval_pdf(tab, kinds, jnp.asarray([1]), wi, wo)
+    vm, _ = B.eval_pdf(tab, kinds, jnp.asarray([2]), wi, wo)
+    expect = 0.75 * np.asarray(va) + 0.25 * np.asarray(vb)
+    assert np.allclose(np.asarray(vm), expect, rtol=1e-5)
+
+
+def test_so3_exp():
+    from epsm_mitsuba3_tpu.utils.rotation import so3_exp, se3_exp
+    w = jnp.asarray([0.0, 0.0, np.pi / 2])
+    R = np.asarray(so3_exp(w))
+    assert np.allclose(R @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-5)
+    T = np.asarray(se3_exp(jnp.asarray([0.0, 0, 0, 1.0, 2.0, 3.0])))
+    assert np.allclose(T[:3, 3], [1, 2, 3], atol=1e-5)
+    assert np.allclose(T[:3, :3], np.eye(3), atol=1e-5)
