@@ -49,15 +49,28 @@ def _render_primal(scene, seed: int, sensor_idx: int, spp: int,
 
 
 def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
-           integrator: Optional[dict] = None) -> jnp.ndarray:
+           integrator: Optional[dict] = None,
+           spp_chunk: int = 0) -> jnp.ndarray:
     """mi.render analog.  ``params`` (SceneParameters) takes precedence for
-    the scene state, matching mi.render(scene, params, ...)."""
+    the scene state, matching mi.render(scene, params, ...).
+
+    ``spp_chunk``: render in multiple passes of at most this many samples
+    per pixel and average — the reference's multi-pass wavefront splitting
+    for wavefronts beyond device memory (integrator.cpp:201-219)."""
     if params is not None and hasattr(params, "scene"):
         scene = params.scene
     cfg = _integrator_cfg(scene, integrator)
     kind = cfg["type"]
     if spp == 0:
         spp = scene.static.spp
+    if spp_chunk and spp > spp_chunk:
+        n_passes = -(-spp // spp_chunk)
+        acc = None
+        for p_ in range(n_passes):
+            img = render(scene, None, seed * n_passes + p_, spp_chunk,
+                         sensor, integrator)
+            acc = img if acc is None else acc + img
+        return acc / n_passes
     if kind in ("path", "prb", "prb_basic", "prb_reparam",
                 "emission_reparam"):
         from . import prb

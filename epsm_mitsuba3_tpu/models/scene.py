@@ -92,7 +92,7 @@ class Scene:
 # ===========================================================================
 
 _MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
-               "sphere", "cylinder")
+               "sphere", "cylinder", "instance", "shapegroup")
 
 
 def _rgb(value, default=(1.0, 1.0, 1.0)):
@@ -174,6 +174,7 @@ class _Builder:
         self.sensors = []
         self.textures = []
         self.env_texture = -1
+        self.shapegroups = {}
         self.integrator = {"type": "path", "max_depth": 6, "rr_depth": 5}
         self.spp = 16
         self.sampler_kind = "independent" 
@@ -351,6 +352,31 @@ class _Builder:
     # -- Shapes -------------------------------------------------------------
     def add_shape(self, d: dict, name: str):
         t = d["type"]
+        if t == "shapegroup":
+            # group definition: record children, emit no geometry
+            # (src/shapes/shapegroup.cpp)
+            self.shapegroups[d.get("id", name)] = [
+                v for v in d.values()
+                if isinstance(v, dict) and v.get("type") in _MESH_TYPES
+            ]
+            return
+        if t == "instance":
+            # flatten instancing at load: replicate the group's geometry
+            # under the instance transform (src/shapes/instance.cpp;
+            # TPU-side true instancing would break the flat SoA wavefront)
+            ref = next((v for v in d.values()
+                        if isinstance(v, dict) and v.get("type") == "ref"),
+                       None)
+            gid = ref["id"] if ref else d.get("shapegroup")
+            if gid not in self.shapegroups:
+                raise ValueError(f"instance references unknown group '{gid}'")
+            inst_t = _transform(d.get("to_world"))
+            for j, child in enumerate(self.shapegroups[gid]):
+                child = dict(child)
+                child_t = _transform(child.get("to_world"))
+                child["to_world"] = inst_t @ child_t
+                self.add_shape(child, f"{name}.{gid}_{j}")
+            return
         if t in ("obj", "ply", "serialized"):
             mesh = mesh_io.load_mesh_file(d["filename"])
         elif t == "rectangle":
