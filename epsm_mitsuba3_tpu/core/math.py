@@ -153,9 +153,11 @@ def refract(wi: jnp.ndarray, m: jnp.ndarray, cos_theta_t: jnp.ndarray,
     """Refract ``wi`` about ``m`` (mitsuba ``refract``, fresnel.h).
 
     ``cos_theta_t``: cosine on the transmitted side (signed),
-    ``eta_ti``: relative IOR (transmitted / incident)^-1 actually 1/eta.
+    ``eta_ti``: relative inverse IOR 1/eta; both shaped (...,).
     """
-    return m * (dot(wi, m, keepdims=True) * eta_ti + cos_theta_t[..., None]) - wi * eta_ti
+    eta_ti = eta_ti[..., None]
+    return (m * (dot(wi, m, keepdims=True) * eta_ti
+                 + cos_theta_t[..., None]) - wi * eta_ti)
 
 
 def fresnel(cos_theta_i: jnp.ndarray, eta: jnp.ndarray):
