@@ -66,7 +66,10 @@ def _film_fn(values, pos, weight, sensor, spp):
     value = values * weight
     if sensor.rfilter == "box":
         return films.accumulate_coalesced(value, sensor.width, sensor.height, spp)
-    data, w = films.splat(pos, value, sensor.width, sensor.height, sensor.rfilter)
+    # canonical pixel-major lanes -> scatter-free coalesced splat
+    jitter = pos - jnp.floor(pos)
+    data, w = films.splat_coalesced(jitter, value, sensor.width,
+                                    sensor.height, spp, sensor.rfilter)
     return films.develop(data, jax.lax.stop_gradient(w))
 
 

@@ -101,3 +101,63 @@ def develop(data: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     """Weight division (film develop); zero-weight pixels stay zero."""
     w = jnp.where(weight > 0.0, weight, 1.0)
     return data / w[..., None]
+
+
+def splat_coalesced(jitter: jnp.ndarray, values: jnp.ndarray, width: int,
+                    height: int, spp: int, rfilter: str = "gaussian"):
+    """Scatter-free ImageBlock::put for the canonical pixel-major lane
+    layout (lane = pixel * spp + s, splat position = pixel + jitter).
+
+    Per-lane scatters are TPU scalar-core bound; since every sample's KxK
+    filter footprint is a fixed pixel-offset pattern, accumulate per-pixel
+    partial sums for each offset (a reshape-sum) and combine with image
+    rolls — pure vector ops, exact same result as ``splat``.  This is the
+    TPU answer to the reference's "coalesce" mode (imageblock.cpp:415-522).
+    """
+    radius = _FILTER_RADIUS[rfilter]
+    k = max(1, int(2 * radius))
+    c = values.shape[-1]
+    jx = jitter[..., 0].reshape(height, width, spp)
+    jy = jitter[..., 1].reshape(height, width, spp)
+    vals = values.reshape(height, width, spp, c)
+    # offset of the top-left covered pixel relative to the sample's pixel:
+    # x0 = floor(px + jx - radius + 0.5); dx0 = x0 - px in {-2..}, plus the
+    # within-footprint index j gives absolute pixel offset ox = dx0 + j
+    x0 = jnp.floor(jx - radius + 0.5)
+    y0 = jnp.floor(jy - radius + 0.5)
+    data = jnp.zeros((height, width, c), values.dtype)
+    wsum = jnp.zeros((height, width), values.dtype)
+    # dx0/dy0 take at most two integer values; enumerate the (k+1)^2
+    # possible absolute offsets (static python range)
+    import math
+    lo_off = math.floor(0.5 - radius)
+    hi_off = math.ceil(radius - 0.5)
+    for oy in range(lo_off, hi_off + 1):
+        wy = filter_eval(rfilter, oy + 0.5 - jy)
+        in_y = (y0 <= oy) & (oy <= y0 + (k - 1))
+        wy = jnp.where(in_y, wy, 0.0)
+        for ox in range(lo_off, hi_off + 1):
+            wx = filter_eval(rfilter, ox + 0.5 - jx)
+            in_x = (x0 <= ox) & (ox <= x0 + (k - 1))
+            w = jnp.where(in_x, wx * wy, 0.0)
+            # pixel p receives from sample in pixel p - (ox, oy)
+            contrib = jnp.sum(w[..., None] * vals, axis=2)
+            wacc = jnp.sum(w, axis=2)
+            contrib = jnp.roll(contrib, (oy, ox), axis=(0, 1))
+            wacc = jnp.roll(wacc, (oy, ox), axis=(0, 1))
+            # zero the wrapped border rows/cols
+            if oy > 0:
+                contrib = contrib.at[:oy].set(0.0)
+                wacc = wacc.at[:oy].set(0.0)
+            elif oy < 0:
+                contrib = contrib.at[oy:].set(0.0)
+                wacc = wacc.at[oy:].set(0.0)
+            if ox > 0:
+                contrib = contrib.at[:, :ox].set(0.0)
+                wacc = wacc.at[:, :ox].set(0.0)
+            elif ox < 0:
+                contrib = contrib.at[:, ox:].set(0.0)
+                wacc = wacc.at[:, ox:].set(0.0)
+            data = data + contrib
+            wsum = wsum + wacc
+    return data, wsum

@@ -28,16 +28,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _softmin(eps, x, y, g, block: int = 2048):
-    """f_i = -eps * LSE_j( g_j/eps - |x_i-y_j|^2/(2 eps) ) - log N folded
-    into g. Blocked over i to bound memory."""
+def _softmin(eps, x, y, g, block: int = 4096):
+    """f_i = -eps * LSE_j( g_j/eps - |x_i-y_j|^2/(2 eps) ).
+
+    The cost expands as |x|²/2 + |y|²/2 - x·y: the cross term is a matmul
+    (MXU) and only (block, M) logits are materialised at a time."""
     n = x.shape[0]
+    y2 = 0.5 * jnp.sum(y * y, -1)
 
     def row_block(xb):
-        c = 0.5 * jnp.sum((xb[:, None, :] - y[None, :, :]) ** 2, -1)
-        return -eps * jax.scipy.special.logsumexp(
-            (g[None, :] - c) / eps, axis=1
-        )
+        cross = xb @ y.T  # (B, M) on the MXU
+        x2 = 0.5 * jnp.sum(xb * xb, -1)
+        logits = (g[None, :] - y2[None, :] - x2[:, None] + cross) / eps
+        return -eps * jax.scipy.special.logsumexp(logits, axis=1)
 
     if n <= block:
         return row_block(x)
