@@ -774,6 +774,12 @@ def render_backward(scene, grad_in, seed, max_depth, rr_depth, caustic,
     g_scene = zero_cotangent(scene)
     bsdf_tab = dict(g_scene.bsdfs)
     bsdf_tab["alpha"] = acc["alpha"]
+    # camera-origin gradient (epsm.py:260-261: dr.backward(ray.o * -grad_d))
+    g_cam_o = -jnp.sum(grad_d, axis=0)
+    sensors = list(g_scene.sensors)
+    s_tw = sensors[s_idx].to_world.at[:3, 3].add(g_cam_o)
+    sensors[s_idx] = sensors[s_idx].replace(to_world=s_tw)
     g_scene = g_scene.replace(
-        vertices=acc["vertices"], normals=acc["normals"], bsdfs=bsdf_tab)
+        vertices=acc["vertices"], normals=acc["normals"], bsdfs=bsdf_tab,
+        sensors=tuple(sensors))
     return g_scene

@@ -171,12 +171,73 @@ def _ply_vertex_cols(arr, cols):
     return verts, norms, uv
 
 
-def load_mesh_file(path: str):
+def load_serialized(path: str, shape_index: int = 0):
+    """Mitsuba .serialized mesh format (src/shapes/serialized.cpp).
+
+    Layout: magic 0x041C (u16) + version (u16), zlib-compressed stream per
+    mesh: flags u32, [name \\0], vertex_count u64, face_count u64,
+    positions, [normals], [texcoords], [colors], faces (u32).  An offset
+    table at EOF locates additional meshes.
+    """
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<HH", data, 0)
+    if magic != 0x041C:
+        raise ValueError(f"{path}: not a .serialized mesh (magic {magic:#x})")
+
+    # locate mesh start offsets: trailing table of u32/u64 offsets + count
+    count = struct.unpack_from("<I", data, len(data) - 4)[0]
+    off_size = 8 if version >= 4 else 4
+    table_start = len(data) - 4 - count * off_size
+    offsets = struct.unpack_from(
+        f"<{count}{'Q' if off_size == 8 else 'I'}", data, table_start)
+    if shape_index >= count:
+        raise ValueError(f"{path}: shape_index {shape_index} >= {count}")
+
+    start = offsets[shape_index] + 4  # skip per-mesh magic+version
+    raw = zlib.decompress(data[start:table_start])
+
+    pos = 0
+    (flags,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    if version >= 4:  # null-terminated name
+        end = raw.index(b"\x00", pos)
+        pos = end + 1
+    v_count, f_count = struct.unpack_from("<QQ", raw, pos)
+    pos += 16
+    double_prec = bool(flags & 0x2000)
+    fsize = 8 if double_prec else 4
+    ftype = "<f8" if double_prec else "<f4"
+
+    def read_block(n):
+        nonlocal pos
+        arr = np.frombuffer(raw, ftype, count=n, offset=pos)
+        pos += n * fsize
+        return arr.astype(np.float32)
+
+    verts = read_block(v_count * 3).reshape(-1, 3)
+    result = {"vertices": verts}
+    if flags & 0x0001:  # has normals
+        result["normals"] = read_block(v_count * 3).reshape(-1, 3)
+    if flags & 0x0002:  # has texcoords
+        result["uvs"] = read_block(v_count * 2).reshape(-1, 2)
+    if flags & 0x0008:  # vertex colors (skipped)
+        read_block(v_count * 3)
+    faces = np.frombuffer(raw, "<u4", count=f_count * 3, offset=pos)
+    result["faces"] = faces.astype(np.int32).reshape(-1, 3)
+    return result
+
+
+def load_mesh_file(path: str, shape_index: int = 0):
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return load_obj(path)
     if ext == ".ply":
         return load_ply(path)
+    if ext == ".serialized":
+        return load_serialized(path, shape_index)
     raise ValueError(f"Unsupported mesh format: {path}")
 
 

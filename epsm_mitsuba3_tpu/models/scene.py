@@ -378,7 +378,8 @@ class _Builder:
                 self.add_shape(child, f"{name}.{gid}_{j}")
             return
         if t in ("obj", "ply", "serialized"):
-            mesh = mesh_io.load_mesh_file(d["filename"])
+            mesh = mesh_io.load_mesh_file(d["filename"],
+                                          int(d.get("shape_index", 0)))
         elif t == "rectangle":
             mesh = shapes_mod.rectangle()
         elif t == "cube":

@@ -125,3 +125,49 @@ def test_so3_exp():
     T = np.asarray(se3_exp(jnp.asarray([0.0, 0, 0, 1.0, 2.0, 3.0])))
     assert np.allclose(T[:3, 3], [1, 2, 3], atol=1e-5)
     assert np.allclose(T[:3, :3], np.eye(3), atol=1e-5)
+
+
+def test_serialized_mesh_loader(tmp_path):
+    """Hand-authored v4 .serialized file roundtrip (serialized.cpp)."""
+    import struct
+    import zlib
+    from epsm_mitsuba3_tpu.models import mesh_io
+
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                       np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 1, 3]], np.uint32)
+    body = (struct.pack("<I", 0x0001) + b"m\x00" + struct.pack("<QQ", 4, 2)
+            + verts.astype("<f4").tobytes()
+            + np.tile([[0, 0, 1]], (4, 1)).astype("<f4").tobytes()
+            + faces.astype("<u4").tobytes())
+    blob = (struct.pack("<HH", 0x041C, 4) + zlib.compress(body)
+            + struct.pack("<Q", 0) + struct.pack("<I", 1))
+    p = tmp_path / "m.serialized"
+    p.write_bytes(blob)
+    m = mesh_io.load_serialized(str(p))
+    assert np.allclose(m["vertices"], verts)
+    assert (m["faces"] == faces.astype(np.int32)).all()
+
+
+def test_epsm_camera_gradient(tmp_path):
+    """EPSM injects camera-origin gradients (epsm.py:260-261)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_epsm2 import caustic_scene
+    from epsm_mitsuba3_tpu.integrators import epsm as E
+
+    scene = caustic_scene()
+    g = jnp.ones((32, 32, 5), jnp.float32) * 0.01
+    gs = E.render_backward(scene, g, jnp.uint32(0), 3, 5, False, -1, 2)
+    gc = np.abs(np.asarray(gs.sensors[0].to_world)).max()
+    assert np.isfinite(gc) and gc > 0
+
+
+def test_tonemap_and_sysinfo():
+    from epsm_mitsuba3_tpu.utils.tonemap import tonemap
+    from epsm_mitsuba3_tpu.utils.sys_info import info
+    x = np.asarray([[0.0, 0.5, 4.0]])
+    for mth in ("gamma", "reinhard", "filmic"):
+        y = tonemap(x, mth)
+        assert (y >= 0).all() and (y <= 1).all()
+    assert info()["device_count"] >= 1
