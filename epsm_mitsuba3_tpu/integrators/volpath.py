@@ -139,7 +139,7 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
         wo_l = si.to_local(ds.d)
         f_surf, pdf_surf = B.eval_pdf(
             scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
-            wo_l, surf_em, uv=si.uv, textures=scene.textures)
+            wo_l, surf_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
         f_phase, pdf_phase = MED.phase_eval(ph_kind, ph_g, st.ray_d, ds.d)
         f_nee = jnp.where(medium_scatter[..., None],
                           f_phase[..., None], f_surf)
@@ -153,7 +153,7 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
         bs, bsdf_w, ok_s = B.sample(
             scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
             s1b, s2b, active_next & ~medium_scatter, uv=si.uv,
-            textures=scene.textures)
+            textures=scene.textures, vcolor=si.vcolor)
         wo_phase, pdf_ph = MED.phase_sample(ph_kind, ph_g, st.ray_d, s2b)
 
         new_d = jnp.where(medium_scatter[..., None],

@@ -695,28 +695,35 @@ def _flip_z(v, flip):
     return jnp.where(flip[..., None], v * jnp.array([1.0, 1.0, -1.0]), v)
 
 
-def _apply_textures(p, uv, textures):
-    """Resolve textured parameters at the hit uv (bitmap.cpp texture eval)."""
+def _apply_textures(p, uv, textures, vcolor=None):
+    """Resolve textured parameters at the hit uv (bitmap.cpp texture eval);
+    mesh_attribute textures read the interpolated vertex color."""
     if uv is None or not textures:
         return p
     from . import textures as tex_mod
     p = dict(p)
-    p["reflectance"] = tex_mod.eval_select(
+    refl = tex_mod.eval_select(
         textures, p["reflectance_tex"], uv, p["reflectance"])
+    if vcolor is not None:
+        for i, tex in enumerate(textures):
+            if tex.kind == "mesh_attribute":
+                refl = jnp.where((p["reflectance_tex"] == i)[..., None],
+                                 vcolor, refl)
+    p["reflectance"] = refl
     p["diffuse_reflectance"] = tex_mod.eval_select(
         textures, p["reflectance_tex"], uv, p["diffuse_reflectance"])
     return p
 
 
 def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
-           active=None, uv=None, textures=()):
+           active=None, uv=None, textures=(), vcolor=None):
     """Dispatch BSDF::sample over the wavefront.
 
     Returns (BSDFSample, weight (N,3), ok mask).  ``kinds_present`` is the
     static tuple of kind ids used by the scene (vcall-record analog).
     """
     p = gather_params(table, bsdf_idx)
-    p = _apply_textures(p, uv, textures)
+    p = _apply_textures(p, uv, textures, vcolor)
     if KIND_BLEND in kinds_present:
         # blendbsdf: pick child A/B by weight, re-scale s1
         # (src/bsdfs/blendbsdf.cpp sample)
@@ -731,7 +738,7 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
             s1)
         eff_idx = jnp.where(is_blend, child, jnp.maximum(bsdf_idx, 0))
         p = gather_params(table, eff_idx)
-        p = _apply_textures(p, uv, textures)
+        p = _apply_textures(p, uv, textures, vcolor)
     wi_f, flip = _apply_twosided_in(p, wi)
     bs_out, w_out, ok_out = None, None, None
     for kind in kinds_present:
@@ -765,10 +772,10 @@ def _select_bs(mask, a: BSDFSample, b: BSDFSample) -> BSDFSample:
 
 
 def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
-             active=None, uv=None, textures=()):
+             active=None, uv=None, textures=(), vcolor=None):
     """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
     p = gather_params(table, bsdf_idx)
-    p = _apply_textures(p, uv, textures)
+    p = _apply_textures(p, uv, textures, vcolor)
 
     def eval_table(p):
         wi_f, flip = _apply_twosided_in(p, wi)
@@ -788,8 +795,10 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
     if KIND_BLEND in kinds_present:
         # blend = lerp of the two children (blendbsdf.cpp eval/pdf)
         is_blend = p["kind"] == KIND_BLEND
-        pa = _apply_textures(gather_params(table, p["blend_a"]), uv, textures)
-        pb = _apply_textures(gather_params(table, p["blend_b"]), uv, textures)
+        pa = _apply_textures(gather_params(table, p["blend_a"]), uv,
+                             textures, vcolor)
+        pb = _apply_textures(gather_params(table, p["blend_b"]), uv,
+                             textures, vcolor)
         va, pfa = eval_table(pa)
         vb, pfb = eval_table(pb)
         w_ = p["blend_weight"]

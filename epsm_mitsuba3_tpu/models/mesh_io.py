@@ -110,7 +110,7 @@ def load_ply(path: str):
             "ushort": "u2", "uint16": "u2", "short": "i2", "int16": "i2",
             "uint": "u4", "uint32": "u4", "int": "i4", "int32": "i4",
         }
-        verts = norms = uvs = None
+        verts = norms = uvs = colors = None
         faces = []
         for name, count, props in elements:
             if fmt == "ascii":
@@ -118,7 +118,7 @@ def load_ply(path: str):
                 if name == "vertex":
                     cols = [p[0] for p in props]
                     arr = np.asarray(rows, np.float32)
-                    verts, norms, uvs = _ply_vertex_cols(arr, cols)
+                    verts, norms, uvs, colors = _ply_vertex_cols(arr, cols)
                 elif name == "face":
                     for r in rows:
                         n = int(r[0])
@@ -133,7 +133,7 @@ def load_ply(path: str):
                     arr = np.stack(
                         [data[c].astype(np.float32) for c in cols], axis=-1
                     )
-                    verts, norms, uvs = _ply_vertex_cols(arr, cols)
+                    verts, norms, uvs, colors = _ply_vertex_cols(arr, cols)
                 elif name == "face":
                     (tag, cnt_t, idx_t, _) = props[0]
                     cnt_dt = np.dtype("<" + type_map[cnt_t])
@@ -152,6 +152,8 @@ def load_ply(path: str):
         result["normals"] = norms
     if uvs is not None:
         result["uvs"] = uvs
+    if colors is not None:
+        result["colors"] = colors
     return result
 
 
@@ -168,7 +170,10 @@ def _ply_vertex_cols(arr, cols):
         if all(n in cols for n in names):
             uv = np.stack([arr[:, cols.index(n)] for n in names], -1)
             break
-    return verts, norms, uv
+    colors = get3(["red", "green", "blue"])
+    if colors is not None and colors.max() > 1.0:
+        colors = colors / 255.0
+    return verts, norms, uv, colors
 
 
 def load_serialized(path: str, shape_index: int = 0):

@@ -89,6 +89,9 @@ class SurfaceInteraction:
     n1: jnp.ndarray           # (N, 3)
     n2: jnp.ndarray           # (N, 3)
     ismesh: jnp.ndarray       # (N,) float (1 if triangle-mesh hit)
+    #: interpolated per-vertex color (mesh_attribute textures); None when
+    #: the scene has no vertex colors
+    vcolor: jnp.ndarray = None
 
     def to_local(self, v):
         return m.to_local(self.sh_n, self.sh_s, self.sh_t, v)

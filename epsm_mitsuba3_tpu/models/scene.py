@@ -47,6 +47,8 @@ class SceneStatic:
     sampler_kind: str = static_field(default="independent")
     #: any BSDF carries a bump/normal map texture
     has_normal_maps: bool = static_field(default=False)
+    #: any texture is a mesh_attribute (per-vertex color) lookup
+    has_vertex_colors: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -67,6 +69,8 @@ class Scene:
     sensors: Tuple[Sensor, ...] = ()
     #: textures referenced by BSDFs/emitters (tuple of Texture pytrees)
     textures: Tuple = ()
+    #: optional per-vertex colors (V,3) for mesh_attribute textures
+    vertex_colors: jnp.ndarray = None
     #: BVH acceleration structure (None -> brute force for small scenes)
     bvh: Any = None
     static: SceneStatic = static_field(default=None)
@@ -163,6 +167,7 @@ def _ior(v, default):
 class _Builder:
     def __init__(self):
         self.vertices, self.normals, self.uvs, self.faces = [], [], [], []
+        self.vertex_colors = []
         self.face_shape = []
         self.shape_names, self.vertex_ranges, self.face_ranges = [], [], []
         self.shape_bsdf, self.shape_emitter = [], []
@@ -189,6 +194,11 @@ class _Builder:
             from ..core.bitmap import read_image
             img = read_image(d["filename"]).data
             tex = tex_mod.bitmap(img)
+        elif t == "mesh_attribute":
+            tex = tex_mod.Texture(kind="mesh_attribute",
+                                  data=jnp.zeros((1, 1, 3), jnp.float32),
+                                  color0=jnp.zeros(3), color1=jnp.ones(3),
+                                  uv_scale=jnp.ones(2))
         elif t == "checkerboard":
             tex = tex_mod.checkerboard(
                 _rgb(d.get("color0"), (0.4, 0.4, 0.4)),
@@ -238,8 +248,8 @@ class _Builder:
 
         refl = p.get("reflectance", p.get("base_color"))
         refl_tex = -1
-        if isinstance(refl, dict) and refl.get("type") in ("bitmap",
-                                                           "checkerboard"):
+        if isinstance(refl, dict) and refl.get("type") in (
+                "bitmap", "checkerboard", "mesh_attribute"):
             refl_tex = self.add_texture(refl)
             refl = None
         row = {
@@ -413,6 +423,9 @@ class _Builder:
         uv = mesh.get("uvs")
         if uv is None:
             uv = np.zeros((len(v), 2), np.float32)
+        vcol = mesh.get("colors")
+        if vcol is None:
+            vcol = np.zeros((len(v), 3), np.float32)
         f = mesh["faces"]
         if bool(d.get("flip_normals", False)):
             f = f[:, ::-1].copy()
@@ -450,6 +463,7 @@ class _Builder:
         self.vertices.append(v.astype(np.float32))
         self.normals.append(n.astype(np.float32))
         self.uvs.append(uv.astype(np.float32))
+        self.vertex_colors.append(vcol.astype(np.float32))
         self.faces.append((f + self._v_off).astype(np.int32))
         self.face_shape.append(np.full((nf,), shape_index, np.int32))
         if em_idx >= 0:
@@ -536,6 +550,8 @@ class _Builder:
             sampler_kind=self.sampler_kind,
             has_normal_maps=any(
                 r.get("normal_tex", -1) >= 0 for r in self.bsdf_rows),
+            has_vertex_colors=any(
+                t.kind == "mesh_attribute" for t in self.textures),
         )
         from . import media as med_mod
         n_m = max(len(self.media_rows), 1)
@@ -569,6 +585,7 @@ class _Builder:
             em_faces=jnp.asarray(em_faces),
             sensors=tuple(self.sensors),
             textures=tuple(self.textures),
+            vertex_colors=jnp.asarray(np.concatenate(self.vertex_colors)),
             bvh=bvh,
             static=static,
         )

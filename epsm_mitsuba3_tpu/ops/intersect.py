@@ -260,6 +260,13 @@ def compute_surface_interaction(
     wi_world = -ray.d
     wi = m.to_local(ns, sh_s, sh_t, wi_world)
 
+    vcolor = None
+    if getattr(scene.static, "has_vertex_colors", False) and             scene.vertex_colors is not None:
+        vc = scene.vertex_colors[scene.faces]   # (F, 3, 3)
+        vc_n = take_rows(vc.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+        vcolor = (vc_n[:, 0] * b0[:, None] + vc_n[:, 1] * b1[:, None]
+                  + vc_n[:, 2] * b2[:, None])
+
     inf = jnp.inf
     valid = pi.valid
     si = SurfaceInteraction(
@@ -285,5 +292,6 @@ def compute_surface_interaction(
         n1=n1,
         n2=n2,
         ismesh=valid.astype(p.dtype),
+        vcolor=vcolor,
     )
     return si
