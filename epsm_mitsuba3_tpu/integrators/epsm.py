@@ -720,10 +720,22 @@ def render_backward(scene, grad_in, seed, max_depth, rr_depth, caustic,
     sensor in the scene."""
     s_idx = bwd_sensor_idx if bwd_sensor_idx >= 0 else len(scene.sensors) - 1
     sensor = scene.sensors[s_idx]
-    res_w, res_h = sensor.width, sensor.height
-    n = res_w * res_h * bwd_spp
+    n = sensor.width * sensor.height * bwd_spp
     sampler = smp.seed(seed, n)
     sampler, ray, weight, pos = common.sample_rays(sensor, sampler, bwd_spp)
+    lane0 = jnp.zeros((), jnp.uint32)
+    return backward_core(scene, grad_in, ray, sampler, lane0, s_idx,
+                         max_depth, rr_depth, caustic, bwd_spp)
+
+
+def backward_core(scene, grad_in, ray, sampler, lane0, s_idx, max_depth,
+                  rr_depth, caustic, bwd_spp):
+    """Backward pass for an arbitrary (possibly sharded) lane range
+    starting at global lane ``lane0``; shared by the single-chip path and
+    the shard_map data-parallel manifold step (parallel/mesh.py)."""
+    sensor = scene.sensors[s_idx]
+    res_w, res_h = sensor.width, sensor.height
+    n = ray.o.shape[0]
 
     # PASS 1: logged primal (epsm.py:170-181)
     L, valid, logs = sample_path_logged(scene, sampler, ray, max_depth,
@@ -733,9 +745,10 @@ def render_backward(scene, grad_in, seed, max_depth, rr_depth, caustic,
     # grad_in may come at the forward sensor's resolution; crop to backward
     # film (the reference crops, epsm.py:240)
     g5 = grad_in[:res_h, :res_w, :]
-    lane_pix = jnp.arange(n) // bwd_spp
-    py = lane_pix // res_w
-    px = lane_pix % res_w
+    lane_pix = (lane0 + jnp.arange(n, dtype=jnp.uint32)) // jnp.uint32(
+        bwd_spp)
+    py = (lane_pix // jnp.uint32(res_w)).astype(jnp.int32)
+    px = (lane_pix % jnp.uint32(res_w)).astype(jnp.int32)
     g_lane = g5[py, px]                      # (N, 5)
     gx = g_lane[:, 3:4]
     gy = g_lane[:, 4:5]

@@ -183,3 +183,54 @@ def train_step_data_parallel(scene, img_ref, seed=0, sensor: int = 0,
     mesh = mesh if mesh is not None else make_mesh()
     return _train_step_impl(scene, img_ref, seed, sensor, spp, max_depth,
                             rr_depth, _MeshHolder(mesh))
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "rr_depth",
+                                             "caustic", "bwd_spp",
+                                             "mesh_holder"))
+def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
+                        bwd_spp, mesh_holder):
+    from ..integrators import epsm as epsm_mod
+
+    mesh = mesh_holder.mesh
+    s_idx = len(scene.sensors) - 1
+    sensor = scene.sensors[s_idx]
+    n_total = sensor.width * sensor.height * bwd_spp
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0
+    n_local = n_total // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+    )
+    def step(scene, g5, seed):
+        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
+        lane0 = shard * jnp.uint32(n_local)
+        sampler, ray, weight, pos = _sample_rays_global(
+            sensor, bwd_spp, seed, lane0, n_local)
+        g_scene = epsm_mod.backward_core(
+            scene, g5, ray, sampler, lane0, s_idx, max_depth, rr_depth,
+            caustic, bwd_spp)
+        # parameter cotangents reduce over the ray shards (ICI psum)
+        return jax.tree.map(
+            lambda g: jax.lax.psum(g, "rays")
+            if hasattr(g, "dtype") and jnp.issubdtype(g.dtype, jnp.floating)
+            else g,
+            g_scene)
+
+    return step(scene, g5, jnp.asarray(seed, jnp.uint32))
+
+
+def manifold_backward_data_parallel(scene, g5_image, seed=0,
+                                    max_depth: int = 4, rr_depth: int = 5,
+                                    caustic: bool = False, bwd_spp: int = 8,
+                                    mesh: Optional[Mesh] = None):
+    """Distributed EPSM manifold backward: the logged trace, constraint
+    solves and gradient injection are embarrassingly parallel per ray
+    (SURVEY.md §5); each shard handles a global lane range of the backward
+    sensor wavefront and the injected scene cotangents are psum-reduced."""
+    mesh = mesh if mesh is not None else make_mesh()
+    return _manifold_step_impl(scene, g5_image, seed, max_depth, rr_depth,
+                               caustic, bwd_spp, _MeshHolder(mesh))
