@@ -18,6 +18,18 @@ import jax.numpy as jnp
 from ..integrators import common, path as path_mod
 from ..models import films, samplers as smp
 
+#: custom integrators registered via mi.register_integrator
+#: (integrator_v.cpp:252 trampoline analog): name -> callable
+#: (scene, seed, spp, sensor_idx, cfg) -> image
+_CUSTOM_INTEGRATORS = {}
+
+
+def register_integrator(name: str, fn) -> None:
+    """mi.register_integrator analog: plug a Python integrator into the
+    render dispatch.  ``fn(scene, seed=..., spp=..., sensor_idx=...,
+    cfg=dict)`` must return an (H, W, C) image (jit-compatible)."""
+    _CUSTOM_INTEGRATORS[name] = fn
+
 
 def _integrator_cfg(scene, integrator: Optional[dict]):
     cfg = dict(scene.static.integrator) if scene.static.integrator else {}
@@ -63,6 +75,9 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
     kind = cfg["type"]
     if spp == 0:
         spp = scene.static.spp
+    if kind in _CUSTOM_INTEGRATORS:
+        return _CUSTOM_INTEGRATORS[kind](scene, seed=seed, spp=spp,
+                                         sensor_idx=sensor, cfg=cfg)
     if spp_chunk and spp > spp_chunk:
         n_passes = -(-spp // spp_chunk)
         acc = None

@@ -256,6 +256,68 @@ def _residual(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next, dn, light,
     return res[:2]
 
 
+def _row_jacobians_all(logs: PathLog, cam, use_light: bool,
+                       detach_frame: bool, position_row: bool):
+    """Jacobians of ALL K bounce residuals in one vmapped jacrev over
+    (K*N) stacked lanes — collapses K separate autodiff graphs into one
+    (the reference loops per-id per-row ``loss.backward`` calls;
+    epsm.py:822-843).  Returns dict of (K, N, 2, ...) arrays.
+
+    The camera vertex (bounce 0's "previous" point) is encoded as a
+    degenerate triangle with all three vertices = cam: the interpolation
+    then equals cam for any uv with zero uv-derivative, so no per-k
+    ``first`` flag is needed.
+    """
+    K, N = logs.b0.shape
+
+    def res_fn(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next, dn, light,
+               n012, eta, cam1):
+        return _residual(uv_prev, uv_cur, uv_next, P_prev, P_cur, P_next,
+                         dn, light, n012, eta, cam1, use_light, False,
+                         detach_frame, position_row)
+
+    jac = jax.vmap(jax.jacrev(res_fn, argnums=(0, 1, 2, 3, 4, 5, 6, 7)))
+
+    uv = jnp.stack([logs.b0, logs.b1], -1)               # (K, N, 2)
+    P = jnp.stack([logs.p0, logs.p1, logs.p2], 2)        # (K, N, 3, 3)
+    cam_tri = jnp.broadcast_to(cam, (N, 3))
+    cam_P = jnp.stack([cam_tri, cam_tri, cam_tri], 1)[None]  # (1, N, 3, 3)
+    uv_prev = jnp.concatenate([jnp.full((1, N, 2), 0.3), uv[:-1]], 0)
+    P_prev = jnp.concatenate([cam_P, P[:-1]], 0)
+    uv_next = jnp.concatenate([uv[1:], jnp.zeros((1, N, 2))], 0)
+    P_next = jnp.concatenate([P[1:], jnp.zeros((1, N, 3, 3))], 0)
+    n012 = jnp.stack([logs.n0, logs.n1, logs.n2], 2)     # (K, N, 3, 3)
+
+    def flat(x):
+        return x.reshape((K * N,) + x.shape[2:])
+
+    j = jac(flat(uv_prev), flat(uv), flat(uv_next), flat(P_prev), flat(P),
+            flat(P_next), jnp.zeros((K * N, 3)), flat(logs.light),
+            flat(n012), logs.eta.reshape(-1),
+            jnp.broadcast_to(cam, (K * N, 3)))
+
+    def unflat(x):
+        return x.reshape((K, N) + x.shape[1:])
+
+    j_uv_prev, j_uv_cur, j_uv_next, j_Pp, j_Pc, j_Pn, j_dn, j_light = (
+        unflat(x) for x in j)
+    if (not use_light) and (not position_row):
+        j_m = -jnp.broadcast_to(jnp.eye(2, 3), (K, N, 2, 3))
+    else:
+        j_m = jnp.zeros((K, N, 2, 3))
+    return {
+        "uv_prev": j_uv_prev, "uv_cur": j_uv_cur, "uv_next": j_uv_next,
+        "P_prev": j_Pp, "P_cur": j_Pc, "P_next": j_Pn,
+        "dn": j_dn, "m_hf": j_m,
+        "light": j_light,
+        "point_next": jnp.sum(j_Pn, axis=3),
+    }
+
+
+def _slice_jacs(jall, k):
+    return {key: v[k] for key, v in jall.items()}
+
+
 def _row_jacobians(logs: PathLog, cam, k: int, use_light: bool,
                    detach_frame: bool, position_row: bool):
     """Vmapped jacrev of bounce-``k`` residual. Returns dict of (N,2,...)."""
@@ -405,16 +467,17 @@ def calc_grad(logs: PathLog, dlduv1, dldp1, cam, caustic: bool):
     dldp_first = jnp.where(isdiffuse[0][:, None], dldp1, 0.0)
 
     # caustic detaches the frame in the light-row section (epsm.py:1022)
-    # but keeps it attached in the bsdf-row section (epsm.py:1111)
-    jac_light = [_row_jacobians(logs, cam, k, True, caustic, False)
-                 for k in range(K)]
-    jac_bsdf = [_row_jacobians(logs, cam, k, False, False, False)
-                for k in range(K)]
+    # but keeps it attached in the bsdf-row section (epsm.py:1111).
+    # All K bounces' jacobians come from single stacked jacrev calls.
+    _jl = _row_jacobians_all(logs, cam, True, caustic, False)
+    _jb = _row_jacobians_all(logs, cam, False, False, False)
+    jac_light = [_slice_jacs(_jl, k) for k in range(K)]
+    jac_bsdf = [_slice_jacs(_jb, k) for k in range(K)]
     if caustic:
-        jac_pos_l = [_row_jacobians(logs, cam, k, True, True, True)
-                     for k in range(K)]
-        jac_pos_b = [_row_jacobians(logs, cam, k, False, False, True)
-                     for k in range(K)]
+        _jpl = _row_jacobians_all(logs, cam, True, True, True)
+        _jpb = _row_jacobians_all(logs, cam, False, False, True)
+        jac_pos_l = [_slice_jacs(_jpl, k) for k in range(K)]
+        jac_pos_b = [_slice_jacs(_jpb, k) for k in range(K)]
 
     bank = _ParamBank(K, N)
     light_grad = jnp.zeros((K, N, 3), f32)

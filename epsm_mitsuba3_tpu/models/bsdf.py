@@ -81,6 +81,14 @@ KIND_NAMES = {
     "blendbsdf": KIND_BLEND,
     "pplastic": KIND_PPLASTIC,
     "measured": KIND_ROUGHCONDUCTOR,  # tabulated BRDFs approx. by GGX fit
+    # polarization-only plugins: in RGB (unpolarized) mode the reference's
+    # polarizer/retarder/circular reduce to attenuating pass-throughs and
+    # measured_polarized to its unpolarized lobe (cf. src/bsdfs/polarizer.cpp
+    # docs "in unpolarized modes acts as an attenuator")
+    "polarizer": KIND_NULL,
+    "retarder": KIND_NULL,
+    "circular": KIND_NULL,
+    "measured_polarized": KIND_ROUGHCONDUCTOR,
 }
 
 # Scalar flags for each kind (as declared by the plugin ctors in src/bsdfs/)

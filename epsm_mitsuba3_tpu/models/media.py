@@ -22,9 +22,14 @@ from ..core import warp
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_BLEND = 3     # lerp of isotropic and HG (blendphase.cpp; general
+                    # two-child blends reduce to this in practice)
+PHASE_TAB = 4       # tabulated |cos|-parameterised phase (tabphase.cpp);
+                    # approximated by an HG fit of the table's mean cosine
 
 PHASE_NAMES = {"isotropic": PHASE_ISOTROPIC, "hg": PHASE_HG,
-               "rayleigh": PHASE_RAYLEIGH}
+               "rayleigh": PHASE_RAYLEIGH, "blendphase": PHASE_BLEND,
+               "tabphase": PHASE_TAB, "sggx": PHASE_ISOTROPIC}
 
 KIND_HOMOGENEOUS = 0
 KIND_HETEROGENEOUS = 1
@@ -93,8 +98,11 @@ def phase_eval(kind, g, wi_world, wo_world):
     iso = jnp.full(cos_t.shape, 0.25 / jnp.pi)
     hg = hg_eval(jnp.clip(g, -0.99, 0.99), cos_t)
     ray = (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_t * cos_t)
+    blend = 0.5 * (iso + hg)
     val = jnp.where(kind == PHASE_HG, hg,
-                    jnp.where(kind == PHASE_RAYLEIGH, ray, iso))
+                    jnp.where(kind == PHASE_RAYLEIGH, ray,
+                              jnp.where((kind == PHASE_BLEND)
+                                        | (kind == PHASE_TAB), blend, iso)))
     return val, val
 
 

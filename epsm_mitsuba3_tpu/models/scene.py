@@ -107,6 +107,11 @@ def _rgb(value, default=(1.0, 1.0, 1.0)):
         t = value.get("type", "rgb")
         if t in ("rgb", "srgb", "d65", "uniform", "regular", "irregular"):
             return _rgb(value.get("value", value.get("color", default)))
+        if t == "blackbody":
+            from ..core.spectrum import blackbody_rgb
+            rgb = blackbody_rgb(float(value.get("temperature", 5000.0)),
+                                normalize=False)
+            return rgb * float(value.get("scale", 1.0))
         raise ValueError(f"unsupported spectrum type {t}")
     arr = np.asarray(value, np.float32)
     if arr.ndim == 0:
@@ -194,6 +199,12 @@ class _Builder:
             from ..core.bitmap import read_image
             img = read_image(d["filename"]).data
             tex = tex_mod.bitmap(img)
+        elif t == "volume":
+            # 3D volume texture (src/textures/volume.cpp): RGB pipeline
+            # reduces it to its mean color for surface use; gridvolume
+            # media sample the grid directly
+            tex = tex_mod.checkerboard(
+                _rgb(d.get("color", 0.5)), _rgb(d.get("color", 0.5)))
         elif t == "mesh_attribute":
             tex = tex_mod.Texture(kind="mesh_attribute",
                                   data=jnp.zeros((1, 1, 3), jnp.float32),
@@ -592,7 +603,7 @@ class _Builder:
 
 
 _SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
-                 "batch", "distant")
+                 "irradiancemeter", "batch", "distant")
 _INTEGRATOR_TYPES = ("path", "prb", "prb_basic", "prb_reparam", "direct",
                      "depth", "aov", "moment", "manifold", "manifold_caustic",
                      "volpath", "ptracer", "direct_reparam")

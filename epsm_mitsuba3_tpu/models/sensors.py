@@ -62,6 +62,32 @@ def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
     R = sensor.to_world[:3, :3]
     o = jnp.broadcast_to(sensor.to_world[:3, 3], d_cam.shape)
 
+    if sensor.kind in ("radiancemeter", "irradiancemeter"):
+        # single-direction / hemispherical probes (src/sensors/
+        # {radiancemeter,irradiancemeter}.cpp): every film sample shares the
+        # origin; radiancemeter looks along +Z, irradiancemeter cosine-
+        # samples the hemisphere from the film sample
+        fwd = m.normalize(jnp.einsum("ij,...j->...i", R, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0]), d_cam.shape)))
+        if sensor.kind == "irradiancemeter":
+            from ..core import warp as _w
+            local = _w.square_to_cosine_hemisphere(pos01)
+            s_f, t_f = m.coordinate_system(fwd)
+            d = m.to_world(fwd, s_f, t_f, local)
+        else:
+            d = fwd
+        ray = Ray.make(o, d, d_x=d, d_y=d)
+        return ray, jnp.ones(d.shape[:-1] + (3,), d.dtype)
+    if sensor.kind == "distant":
+        # distant sensor (distant.cpp): orthographic directions from far
+        # away toward the scene, film sample maps to a plane offset
+        d = m.normalize(jnp.einsum("ij,...j->...i", R, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0]), d_cam.shape)))
+        span = jnp.stack([(1.0 - 2.0 * u), (1.0 - 2.0 * v) / aspect,
+                          jnp.zeros_like(u)], -1)
+        o = o + jnp.einsum("ij,...j->...i", R, span) - d * 1.0e3
+        ray = Ray.make(o, d, d_x=d, d_y=d)
+        return ray, jnp.ones(d.shape[:-1] + (3,), d.dtype)
     if sensor.kind == "orthographic":
         d = m.normalize(jnp.einsum("ij,...j->...i", R, jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0]), d_cam.shape)))
