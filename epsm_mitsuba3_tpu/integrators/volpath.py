@@ -87,6 +87,18 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
         sampler, u_ch = smp.next_1d(sampler)
         t_m, ch = MED.sample_free_flight(sig + 1e-20, u_t, u_ch)
         surf_t = jnp.where(si.valid, si.t, 1e7)
+        is_het = jnp.zeros_like(in_med)
+        if scene.volume_grids:
+            # heterogeneous media: Woodcock delta tracking against the
+            # grid majorant (heterogeneous.cpp); single-grid scenes
+            from ..ops.gather import take_rows
+            kind_m = take_rows(scene.media["kind"][:, None],
+                               jnp.maximum(st.medium, 0))[..., 0]
+            is_het = in_med & (kind_m == MED.KIND_HETEROGENEOUS)
+            t_het = MED.sample_free_flight_hetero(
+                scene.volume_grids[0], sig, st.ray_o, st.ray_d, surf_t,
+                0x1234 + 7)
+            t_m = jnp.where(is_het, t_het, t_m)
         medium_scatter = in_med & (t_m < surf_t) & st.active
         t_event = jnp.where(medium_scatter, t_m, surf_t)
 
@@ -101,6 +113,12 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
             sig * alb * tr / jnp.maximum(pdf_scatter, 1e-20)[..., None],
             tr / jnp.maximum(pdf_surface, 1e-20)[..., None],
         )
+        if scene.volume_grids:
+            # delta tracking is self-normalizing: scatter weight = albedo,
+            # pass-through weight = 1
+            w_het = jnp.where(medium_scatter[..., None], alb,
+                              jnp.ones_like(alb))
+            w_med = jnp.where(is_het[..., None], w_het, w_med)
         beta = st.beta * jnp.where(in_med[..., None], w_med, 1.0)
 
         p_event = st.ray_o + st.ray_d * t_event[..., None]

@@ -47,6 +47,7 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "scale": jnp.ones((n,), f),
         "phase_kind": jnp.zeros((n,), jnp.int32),
         "phase_g": jnp.zeros((n,), f),
+        "grid_index": jnp.full((n,), -1, jnp.int32),
     }
 
 
@@ -121,3 +122,73 @@ def sample_free_flight(sigma_t, u, channel_u):
 
 def transmittance(sigma_t, t):
     return jnp.exp(-sigma_t * jnp.minimum(t, 1e7)[..., None])
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous media: delta/ratio tracking against a grid majorant
+# (src/media/heterogeneous.cpp)
+# ---------------------------------------------------------------------------
+
+def _hash_uniform(lane, step, salt):
+    """Counter-based uniform in [0,1) (TEA of lane/step) — decorrelated
+    from the main sampler stream for the tracking loops."""
+    from ..core import rng as _rng
+    v0, _ = _rng.sample_tea_32(
+        lane ^ jnp.uint32(salt), jnp.uint32(step) * jnp.uint32(0x9E3779B9))
+    return (v0 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def sample_free_flight_hetero(grid, sigma_base, o, d, maxt, seed_salt,
+                              n_steps: int = 32):
+    """Delta tracking through a density grid (Woodcock): returns
+    (t_scatter (inf if none before maxt), local sigma_t at the event)."""
+    from . import volumes as V
+    n = o.shape[0]
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    max_dens = jnp.maximum(V.max_density(grid), 1e-6)
+    sig_major = jnp.max(sigma_base, -1) * max_dens
+    inv_major = 1.0 / jnp.maximum(sig_major, 1e-12)
+
+    def body(i, carry):
+        t, done = carry
+        u1 = _hash_uniform(lane, 2 * i, seed_salt)
+        u2 = _hash_uniform(lane, 2 * i + 1, seed_salt ^ 0x5BD1E995)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) * inv_major
+        p = o + d * t_new[..., None]
+        dens = V.eval_grid(grid, p)[..., 0]
+        real = u2 < dens / max_dens  # acceptance sigma(x)/sigma_major
+        escaped = t_new >= maxt
+        t_out = jnp.where(done, t, jnp.where(escaped, jnp.inf, t_new))
+        done_out = done | escaped | (real & ~done)
+        return (t_out, done_out)
+
+    t0 = jnp.zeros((n,))
+    t, done = jax.lax.fori_loop(0, n_steps, body,
+                                (t0, jnp.zeros((n,), jnp.bool_)))
+    t = jnp.where(jnp.isfinite(t) & (t > 0), t, jnp.inf)
+    return t
+
+
+def transmittance_hetero(grid, sigma_base, o, d, dist, seed_salt,
+                         n_steps: int = 16):
+    """Ratio-tracking transmittance estimate along [0, dist]."""
+    from . import volumes as V
+    n = o.shape[0]
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    max_dens = jnp.maximum(V.max_density(grid), 1e-6)
+    sig_major = jnp.max(sigma_base, -1) * max_dens
+    inv_major = 1.0 / jnp.maximum(sig_major, 1e-12)
+
+    def body(i, carry):
+        t, tr = carry
+        u = _hash_uniform(lane, i, seed_salt ^ 0xA511E9B3)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) * inv_major
+        p = o + d * t_new[..., None]
+        dens = V.eval_grid(grid, p)[..., 0]
+        inside = t_new < dist
+        tr = jnp.where(inside, tr * (1.0 - dens / max_dens), tr)
+        return (t_new, tr)
+
+    _, tr = jax.lax.fori_loop(0, n_steps, body,
+                              (jnp.zeros((n,)), jnp.ones((n,))))
+    return jnp.clip(tr, 0.0, 1.0)

@@ -71,6 +71,8 @@ class Scene:
     textures: Tuple = ()
     #: optional per-vertex colors (V,3) for mesh_attribute textures
     vertex_colors: jnp.ndarray = None
+    #: density grids for heterogeneous media (tuple of VolumeGrid)
+    volume_grids: Tuple = ()
     #: BVH acceleration structure (None -> brute force for small scenes)
     bvh: Any = None
     static: SceneStatic = static_field(default=None)
@@ -180,6 +182,7 @@ class _Builder:
         self.bsdf_by_id = {}
         self.em_rows, self.em_names, self.em_shape, self.em_face_list = [], [], [], []
         self.media_rows = []
+        self.volume_grids = []
         self.shape_interior = []
         self.sensors = []
         self.textures = []
@@ -313,14 +316,29 @@ class _Builder:
         if t not in med_mod.MEDIUM_NAMES:
             raise ValueError(f"unsupported medium type '{t}'")
         ph = d.get("phase", {"type": "isotropic"})
+        grid_index = -1
+        dens = d.get("density", d.get("sigma_t"))
+        if isinstance(dens, dict) and dens.get("type") in ("gridvolume",
+                                                           "constvolume"):
+            from . import volumes as vol_mod
+            if dens["type"] == "gridvolume":
+                g = vol_mod.load_vol(dens["filename"])
+            else:
+                g = vol_mod.const_grid(_rgb(dens.get("value", 1.0))[:1])
+            grid_index = len(self.volume_grids)
+            self.volume_grids.append(g)
+            dens = None
         row = {
-            "kind": med_mod.MEDIUM_NAMES[t],
-            "sigma_t": _rgb(d.get("sigma_t"), (1.0, 1.0, 1.0)),
+            "kind": med_mod.MEDIUM_NAMES[t]
+            if grid_index < 0 else med_mod.KIND_HETEROGENEOUS,
+            "sigma_t": _rgb(dens if not isinstance(dens, dict) else None,
+                            (1.0, 1.0, 1.0)),
             "albedo": _rgb(d.get("albedo"), (0.75, 0.75, 0.75)),
             "scale": float(d.get("scale", 1.0)),
             "phase_kind": med_mod.PHASE_NAMES.get(
                 ph.get("type", "isotropic"), 0),
             "phase_g": float(ph.get("g", 0.0)),
+            "grid_index": grid_index,
         }
         self.media_rows.append(row)
         return len(self.media_rows) - 1
@@ -597,6 +615,7 @@ class _Builder:
             sensors=tuple(self.sensors),
             textures=tuple(self.textures),
             vertex_colors=jnp.asarray(np.concatenate(self.vertex_colors)),
+            volume_grids=tuple(self.volume_grids),
             bvh=bvh,
             static=static,
         )

@@ -195,3 +195,43 @@ def test_chi2_roughconductor_bsdf():
     from scipy.stats import chi2 as chi2_dist
     p = float(chi2_dist.sf(chi2, len(obs_m) - 1))
     assert p > 0.001, (chi2, p)
+
+
+def test_heterogeneous_gridvolume(tmp_path):
+    """Delta tracking through a .vol density grid (heterogeneous.cpp +
+    volumegrid.cpp analog)."""
+    import struct
+    from epsm_mitsuba3_tpu.integrators import volpath
+    from epsm_mitsuba3_tpu.models.volumes import load_vol
+
+    g = np.zeros((8, 8, 8, 1), np.float32)
+    z, y, x = np.mgrid[0:8, 0:8, 0:8]
+    g[..., 0] = np.exp(
+        -(((x - 3.5) ** 2 + (y - 3.5) ** 2 + (z - 3.5) ** 2) / 6.0))
+    hdr = (b"VOL" + bytes([3]) + struct.pack("<i", 1)
+           + struct.pack("<iiii", 8, 8, 8, 1)
+           + struct.pack("<6f", -0.6, 0.4, -0.6, 0.6, 1.6, 0.6))
+    fn = str(tmp_path / "d.vol")
+    open(fn, "wb").write(hdr + g.tobytes())
+    vg = load_vol(fn)
+    assert vg.data.shape == (8, 8, 8, 1)
+
+    d = cornell_box(res=16, spp=16, max_depth=4)
+    d["fog"] = {"type": "cube",
+                "to_world": mi.ScalarTransform4f.translate([0, 1, 0])
+                .scale(0.6),
+                "bsdf": {"type": "null"},
+                "interior": {"type": "heterogeneous",
+                             "density": {"type": "gridvolume",
+                                         "filename": fn},
+                             "sigma_t": {"type": "rgb", "value": 8.0},
+                             "albedo": {"type": "rgb", "value": 0.8}}}
+    scene = mi.load_dict(d)
+    assert len(scene.volume_grids) == 1
+    img = np.asarray(volpath.render_volpath(scene, seed=0, spp=16,
+                                            max_depth=4))
+    img0 = np.asarray(volpath.render_volpath(
+        mi.load_dict(cornell_box(res=16, spp=16, max_depth=4)),
+        seed=0, spp=16, max_depth=4))
+    assert np.isfinite(img).all()
+    assert img.mean() < img0.mean()
