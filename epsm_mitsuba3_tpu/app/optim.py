@@ -35,7 +35,9 @@ def _resize(img, res):
 
 
 def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
-        adam_lr: float = 0.01, iters: int = None):
+        adam_lr: float = 0.01, iters: int = None,
+        checkpoint_every: int = 0, resume: bool = False,
+        max_wavefront: int = 2_000_000):
     scene = exp["scene"]
     it_total = iters if iters is not None else exp["it"]
     spp = exp["spp"]
@@ -44,6 +46,10 @@ def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
     match_res = exp["match_res"]
     apply_fn = exp["apply"]
     logger = Logger(log_dir) if log_dir else None
+    res = exp.get("resolution", 512)
+    # wavefront splitting (integrator.cpp:201-219): bound the per-pass
+    # lane count so huge spp configs fit compile + HBM budgets
+    spp_chunk = max(1, min(spp, max_wavefront // max(res * res, 1)))
 
     hybrid = method.endswith("_hybrid")
     if hybrid:
@@ -56,7 +62,8 @@ def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
     if gt_scene is None:
         gt_scene = apply_fn(scene, exp["target_theta"])
     img_ref = render(gt_scene, spp=exp.get("gt_spp", 512), seed=0, sensor=0,
-                     integrator={"type": "path", "max_depth": max_depth})
+                     integrator={"type": "path", "max_depth": max_depth},
+                     spp_chunk=spp_chunk)
     img_ref = jax.lax.stop_gradient(img_ref[..., :3])
     gt_low = _resize(img_ref, match_res).reshape(-1, 3)
 
@@ -70,13 +77,18 @@ def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
     for k, v in exp["init_theta"].items():
         opt[k] = v
 
+    start_it = 0
+    if resume and log_dir:
+        from ..utils import checkpoint as ckpt
+        start_it = ckpt.load_optimizer(f"{log_dir}/ckpt", opt)
+
     integrator1 = {"type": method, "max_depth": max_depth}
     integrator2 = {"type": "prb", "max_depth": max_depth}
 
     def loss_manifold(theta, seed):
         sc = apply_fn(scene, theta)
         img = render(sc, spp=spp, seed=seed, sensor=sensor_id,
-                     integrator=integrator1)
+                     integrator=integrator1, spp_chunk=spp_chunk)
         # 5-channel OT loss (optim.py:130-136)
         img_low = jax.lax.stop_gradient(
             _resize(img[..., :3], match_res).reshape(-1, 3))
@@ -90,14 +102,16 @@ def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
     def loss_prb(theta, seed):
         sc = apply_fn(scene, theta)
         img = render(sc, spp=spp, seed=seed, sensor=0,
-                     integrator=integrator2)
+                     integrator=integrator2, spp_chunk=spp_chunk)
         return jnp.sum((img[..., :3] - img_ref) ** 2) / img[..., :3].size
 
     grad_manifold = jax.jit(jax.grad(loss_manifold, allow_int=True))
     grad_prb = jax.jit(jax.grad(loss_prb, allow_int=True))
 
+    from ..core.logger import ProgressReporter
+    progress = ProgressReporter(f"{method}", it_total) if verbose else None
     history = []
-    for it in range(it_total):
+    for it in range(start_it, it_total):
         seed = jnp.uint32(it)
         theta = dict(opt.items())
         if it < thres:
@@ -109,10 +123,12 @@ def run(method: str, exp: Dict, log_dir: str = None, verbose: bool = True,
             g = grad_prb(theta, seed)
         g = {k: jnp.nan_to_num(v) for k, v in g.items()}
         opt.step(g)
-        if verbose and (it % max(1, it_total // 10) == 0 or it == it_total - 1):
-            msg = exp["output"](dict(opt.items()))
-            print(f"it {it:4d}: {msg}")
+        if progress:
+            progress.update(it + 1, exp["output"](dict(opt.items()))[:40])
         if logger:
             logger.add_params(it, {k: np.asarray(v) for k, v in opt.items()})
+        if checkpoint_every and log_dir and (it + 1) % checkpoint_every == 0:
+            from ..utils import checkpoint as ckpt
+            ckpt.save_optimizer(f"{log_dir}/ckpt", it, opt)
         history.append({k: np.asarray(v).copy() for k, v in opt.items()})
     return opt, history
