@@ -122,6 +122,11 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         return aov.render_aov(scene, seed=seed, sensor_idx=sensor, spp=spp,
                               aovs=names,
                               max_depth=int(cfg.get("max_depth", 2)))
+    if kind == "stokes":
+        from ..integrators import aov
+        return aov.render_stokes(scene, seed=seed, sensor_idx=sensor,
+                                 spp=spp,
+                                 max_depth=int(cfg.get("max_depth", 4)))
     if kind == "moment":
         from ..integrators import aov
         return aov.render_moment(scene, seed=seed, sensor_idx=sensor,

@@ -94,3 +94,27 @@ def render_moment(scene, seed=0, sensor_idx: int = 0, spp: int = 4,
     v = L * weight
     vals = jnp.concatenate([v, v * v], axis=-1)
     return films.accumulate_coalesced(vals, sensor.width, sensor.height, spp)
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp",
+                                             "max_depth"))
+def render_stokes(scene, seed=0, sensor_idx: int = 0, spp: int = 4,
+                  max_depth: int = 4):
+    """Stokes-vector integrator (src/integrators/stokes.cpp).
+
+    The RGB pipeline is unpolarized (the reference only tracks Stokes
+    vectors in its *_polarized variants), so S0 = luminance of the nested
+    radiance estimate and S1..S3 = 0; output (H, W, 3 + 4*3) matches the
+    reference's per-channel Stokes layout for tooling compatibility."""
+    from ..integrators import path as P
+
+    sensor = scene.sensors[sensor_idx]
+    n = sensor.width * sensor.height * spp
+    sampler = smp.seed(jnp.asarray(seed, jnp.uint32), n,
+                       kind=scene.static.sampler_kind, spp=spp)
+    sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+    L, valid = P.sample_primal(scene, sampler, ray, max_depth, 5)
+    v = L * weight
+    zeros = jnp.zeros_like(v)
+    vals = jnp.concatenate([v, v, zeros, zeros, zeros], axis=-1)
+    return films.accumulate_coalesced(vals, sensor.width, sensor.height, spp)

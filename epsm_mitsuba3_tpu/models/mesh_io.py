@@ -13,13 +13,67 @@ import struct
 import numpy as np
 
 
-def load_obj(path: str, flip_tex_coords: bool = True):
-    """Minimal Wavefront OBJ loader (triangulates polygons, fan style).
+def _load_obj_native(path: str):
+    """C++ fast-path OBJ loader (native/meshio.cpp) via ctypes; returns
+    None when the native library is unavailable."""
+    import ctypes
+    from ..ops.bvh import _load_native
 
-    Returns dict with float32 ``vertices`` (V,3), int32 ``faces`` (F,3),
-    optional ``normals`` (V,3) and ``uvs`` (V,2) resolved per-vertex
-    (OBJ's independent index spaces are de-duplicated like obj.cpp:176-280).
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "epsm_obj_parse"):
+        return None
+    lib.epsm_obj_parse.restype = ctypes.c_void_p
+    lib.epsm_obj_parse.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.epsm_obj_copy.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.epsm_obj_free.argtypes = [ctypes.c_void_p]
+
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    hn = ctypes.c_int32()
+    hu = ctypes.c_int32()
+    h = lib.epsm_obj_parse(path.encode(), ctypes.byref(nv), ctypes.byref(nf),
+                           ctypes.byref(hn), ctypes.byref(hu))
+    if not h:
+        return None
+    try:
+        pos = np.empty((nv.value, 3), np.float32)
+        nrm = np.empty((nv.value, 3), np.float32)
+        uv = np.empty((nv.value, 2), np.float32)
+        faces = np.empty((nf.value, 3), np.int32)
+        lib.epsm_obj_copy(
+            h, pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    finally:
+        lib.epsm_obj_free(h)
+    out = {"vertices": pos, "faces": faces}
+    if hn.value:
+        out["normals"] = nrm
+    if hu.value:
+        out["uvs"] = uv
+    return out
+
+
+def load_obj(path: str, flip_tex_coords: bool = True):
+    """Wavefront OBJ loader (triangulates polygons, fan style).
+
+    Uses the native C++ fast path (native/meshio.cpp) when available,
+    falling back to the pure-python parser.  Returns dict with float32
+    ``vertices`` (V,3), int32 ``faces`` (F,3), optional ``normals`` (V,3)
+    and ``uvs`` (V,2) resolved per-vertex (OBJ's independent index spaces
+    are de-duplicated like obj.cpp:176-280).
     """
+    if flip_tex_coords:
+        native = _load_obj_native(path)
+        if native is not None:
+            return native
     positions, normals, texcoords = [], [], []
     vert_map = {}
     out_pos, out_nrm, out_uv, faces = [], [], [], []

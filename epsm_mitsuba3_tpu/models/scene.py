@@ -625,7 +625,8 @@ _SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
                  "irradiancemeter", "batch", "distant")
 _INTEGRATOR_TYPES = ("path", "prb", "prb_basic", "prb_reparam", "direct",
                      "depth", "aov", "moment", "manifold", "manifold_caustic",
-                     "volpath", "ptracer", "direct_reparam")
+                     "volpath", "volpathmis", "prbvolpath", "ptracer",
+                     "direct_reparam", "emission_reparam", "stokes")
 
 
 def load_dict(d: Dict[str, Any]) -> Scene:
