@@ -59,7 +59,7 @@ def translate_shape(scene, name, offset):
     """Pure translated-scene builder (differentiable in offset)."""
     s, c = shape_range(scene, name)
     off = jnp.asarray(offset).reshape(1, 3)
-    return scene.replace(vertices=scene.vertices.at[s:s + c].add(off))
+    return scene.set_vertices(scene.vertices.at[s:s + c].add(off))
 
 
 def transform_shape(scene, name, mat4, base_vertices):
@@ -68,4 +68,4 @@ def transform_shape(scene, name, mat4, base_vertices):
     v = base_vertices
     vh = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], -1)
     v2 = (vh @ mat4.T)[:, :3]
-    return scene.replace(vertices=scene.vertices.at[s:s + c].set(v2))
+    return scene.set_vertices(scene.vertices.at[s:s + c].set(v2))

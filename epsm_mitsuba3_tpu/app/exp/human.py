@@ -146,7 +146,7 @@ def make(resolution=512, spp=64, it=1000, thres=10 ** 9, max_depth=3,
 
     def apply(scene, theta):
         v = lbs_model(tv, wj, jp, theta["pose"].reshape(N_JOINTS, 3))
-        return scene.replace(vertices=scene.vertices.at[s:s + c].set(v))
+        return scene.set_vertices(scene.vertices.at[s:s + c].set(v))
 
     rng = np.random.default_rng(5)
     init_pose = np.zeros(POSE_DIM, np.float32)

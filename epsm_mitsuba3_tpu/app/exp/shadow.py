@@ -55,7 +55,7 @@ def make(resolution=512, spp=64, it=600, thres=250, max_depth=2,
             s, c = C.shape_range(sc, nm)
             shift = jnp.stack([off[i, 0], jnp.asarray(0.0), off[i, 1]])
             v = v.at[s:s + c].add(shift[None, :])
-        return sc.replace(vertices=v)
+        return sc.set_vertices(v)
 
     return {
         "scene": scene,

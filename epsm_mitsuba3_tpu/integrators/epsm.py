@@ -47,6 +47,7 @@ from ..models import bsdf as B
 from ..models import films, samplers as smp
 from ..models.records import Ray, RayFlags
 from ..ops import intersect as I
+from ..ops.linalg import inv_small
 
 K_LOG = 5  # logged bounces (epsm.py:648 ``iteration < 5``)
 
@@ -557,7 +558,7 @@ def calc_grad(logs: PathLog, dlduv1, dldp1, cam, caustic: bool):
         cur = C[:, :n_sys, 2:2 + n_sys]
         eye = jnp.broadcast_to(eyeK[:n_sys, :n_sys], (N, n_sys, n_sys))
         cur = jnp.where(bad[:, None, None], eye, cur)
-        cinv = jnp.linalg.inv(cur)
+        cinv = inv_small(cur)
         A = jnp.einsum("nj,njk->nk", dlduv1[:, :n_sys], cinv)
 
         mask_l = (~bad) & (hasdiffuse[k] == 0)
@@ -582,7 +583,7 @@ def calc_grad(logs: PathLog, dlduv1, dldp1, cam, caustic: bool):
             bad_b = (~valid_chain[k]) | (~act_next)
             cur = C[:, :n_sys, 2:2 + n_sys]
             cur = jnp.where(bad_b[:, None, None], eye, cur)
-            cinv = jnp.linalg.inv(cur)
+            cinv = inv_small(cur)
             A = jnp.einsum("nj,njk->nk", dlduv1[:, :n_sys], cinv)
 
             next_diffuse = isdiffuse[k + 1]

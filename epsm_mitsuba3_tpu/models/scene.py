@@ -92,6 +92,21 @@ class Scene:
         from ..ops import accel
         return accel.ray_test(self, ray)
 
+    def set_vertices(self, vertices: jnp.ndarray) -> "Scene":
+        """Replace the vertex buffer AND refit the BVH (if built).
+
+        Direct ``scene.replace(vertices=...)`` leaves the acceleration
+        structure bounding moved geometry at its old location, silently
+        dropping intersections — the analog of the reference requiring
+        ``params.update()`` after editing ``vertex_positions``
+        (util.py:288-346).  All differentiable vertex edits must go
+        through here (or SceneParameters.update)."""
+        sc = self.replace(vertices=vertices)
+        if sc.bvh is not None:
+            from ..ops import bvh as bvh_mod
+            sc = sc.replace(bvh=bvh_mod.refit(sc.bvh, sc.vertices, sc.faces))
+        return sc
+
 
 # ===========================================================================
 # Dict loader (mi.load_dict analog)

@@ -99,3 +99,33 @@ def test_bvh_scene_integration():
         assert img.max() > 0
     finally:
         accel.BRUTE_FORCE_MAX_TRIS = old
+
+
+def test_set_vertices_refits_bvh():
+    """scene.set_vertices must refit the accel: a shape moved by more than
+    its old leaf bbox still gets hit (regression: exp apply() replaced the
+    vertex buffer directly, leaving the BVH stale — spheres 'vanished' and
+    all shadow-experiment gradients were zero)."""
+    import epsm_mitsuba3_tpu as mi
+    from epsm_mitsuba3_tpu.models.records import Ray
+    from epsm_mitsuba3_tpu.ops import accel
+    old = accel.BRUTE_FORCE_MAX_TRIS
+    accel.BRUTE_FORCE_MAX_TRIS = 10
+    try:
+        T = mi.ScalarTransform4f
+        scene = mi.load_dict({
+            "type": "scene",
+            "ball": {"type": "sphere", "radius": 0.2,
+                     "center": [0.0, 0.0, 0.0]},
+        })
+        assert scene.bvh is not None
+        # move the ball well outside its built bbox
+        sc2 = scene.set_vertices(scene.vertices + jnp.array([2.0, 0.0, 0.0]))
+        ray = Ray.make(jnp.asarray([[2.0, 0.0, 5.0], [0.0, 0.0, 5.0]]),
+                       jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]]))
+        si = sc2.ray_intersect(ray)
+        valid = np.asarray(si.valid)
+        assert valid[0] and not valid[1]
+        assert np.isclose(float(si.t[0]), 4.8, atol=1e-4)
+    finally:
+        accel.BRUTE_FORCE_MAX_TRIS = old
