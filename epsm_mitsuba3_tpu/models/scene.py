@@ -519,6 +519,34 @@ class _Builder:
         self._f_off += nf
 
     def add_sensor(self, d: dict):
+        if d.get("type") == "batch":
+            # batch sensor (src/sensors/batch.cpp): nested sensors tiled
+            # horizontally into one film, width = sum of sub widths
+            subs = [v for v in d.values()
+                    if isinstance(v, dict) and v.get("type") in _SENSOR_TYPES
+                    and v.get("type") != "batch"]
+            if not subs:
+                raise ValueError("batch sensor needs nested sensors")
+            film = d.get("film", {})
+            sampler = d.get("sampler", {})
+            rf = film.get("rfilter", {})
+            rfk = (rf.get("type", "gaussian") if isinstance(rf, dict)
+                   else str(rf))
+            self.spp = int(sampler.get("sample_count", self.spp))
+            sub_tw = jnp.stack([jnp.asarray(_transform(s.get("to_world")))
+                                for s in subs])
+            w0 = int(subs[0].get("film", {}).get("width", 256))
+            h0 = int(subs[0].get("film", {}).get("height", 256))
+            self.sensors.append(Sensor(
+                to_world=sub_tw[0],
+                kind="batch",
+                width=int(film.get("width", w0 * len(subs))),
+                height=int(film.get("height", h0)),
+                rfilter=rfk,
+                sub_to_world=sub_tw,
+                sub_fov_x=tuple(float(s.get("fov", 45.0)) for s in subs),
+            ))
+            return
         film = d.get("film", {})
         sampler = d.get("sampler", {})
         rf = film.get("rfilter", {})

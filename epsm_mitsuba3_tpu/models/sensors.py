@@ -26,6 +26,10 @@ class Sensor:
     rfilter: str = static_field(default="gaussian")
     aperture_radius: float = static_field(default=0.0)   # thinlens
     focus_distance: float = static_field(default=1.0)    # thinlens
+    # batch sensor (src/sensors/batch.cpp): S sub-sensors rendered
+    # side-by-side into one film; sub s covers columns [s*W/S, (s+1)*W/S)
+    sub_to_world: jnp.ndarray = None      # (S,4,4) or None
+    sub_fov_x: tuple = static_field(default=())
 
 
 def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
@@ -38,6 +42,9 @@ def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
     transform.h ``perspective_projection`` composition).  Returns
     (Ray with d_x/d_y differentials, weight).
     """
+    if sensor.kind == "batch":
+        return _sample_batch(sensor, pos01)
+
     aspect = sensor.width / sensor.height
     tan_half = jnp.tan(jnp.deg2rad(sensor.fov_x) * 0.5)
     u = pos01[..., 0]
@@ -118,3 +125,49 @@ def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
     ray = Ray.make(o, d, d_x=d_x, d_y=d_y)
     weight = jnp.ones(d.shape[:-1] + (3,), d.dtype)
     return ray, weight
+
+
+def _sample_batch(sensor: Sensor, pos01: jnp.ndarray):
+    """Batch sensor (src/sensors/batch.cpp): S perspective sub-sensors
+    tiled horizontally; film column range s*W/S..(s+1)*W/S belongs to sub
+    sensor s.  Per-lane sub selection is a select chain (S is small and
+    static), keeping the wavefront a single program."""
+    S = sensor.sub_to_world.shape[0]
+    u = pos01[..., 0]
+    v = pos01[..., 1]
+    fu = u * S
+    idx = jnp.clip(fu.astype(jnp.int32), 0, S - 1)
+    u_loc = fu - idx.astype(fu.dtype)
+    aspect = (sensor.width / S) / sensor.height
+
+    du = S / sensor.width
+    dv = 1.0 / sensor.height
+
+    def cam_dir(th, uu, vv):
+        return jnp.stack([(1.0 - 2.0 * uu) * th,
+                          (1.0 - 2.0 * vv) * th / aspect,
+                          jnp.ones_like(uu)], -1)
+
+    o = jnp.zeros(pos01.shape[:-1] + (3,), pos01.dtype)
+    d = jnp.zeros_like(o)
+    d_x = jnp.zeros_like(o)
+    d_y = jnp.zeros_like(o)
+    for s in range(S):
+        sel = (idx == s)[..., None]
+        th = jnp.tan(jnp.deg2rad(
+            sensor.sub_fov_x[s] if sensor.sub_fov_x else 45.0) * 0.5)
+        R = sensor.sub_to_world[s, :3, :3]
+        t3 = sensor.sub_to_world[s, :3, 3]
+        ds = m.normalize(jnp.einsum("ij,...j->...i", R,
+                                    cam_dir(th, u_loc, v)))
+        dsx = m.normalize(jnp.einsum("ij,...j->...i", R,
+                                     cam_dir(th, u_loc + du, v)))
+        dsy = m.normalize(jnp.einsum("ij,...j->...i", R,
+                                     cam_dir(th, u_loc, v + dv)))
+        o = jnp.where(sel, t3, o)
+        d = jnp.where(sel, ds, d)
+        d_x = jnp.where(sel, dsx, d_x)
+        d_y = jnp.where(sel, dsy, d_y)
+
+    ray = Ray.make(o, d, d_x=d_x, d_y=d_y)
+    return ray, jnp.ones(d.shape[:-1] + (3,), d.dtype)

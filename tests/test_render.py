@@ -75,3 +75,38 @@ def test_depth_aov(cornell_scene):
     assert img.shape == (32, 32, 3)
     # center of the box: distance between ~2.9 (back wall at z=-1, cam 3.9)
     assert 3.0 < img[16, 16, 0] < 5.5
+
+
+def test_batch_sensor_two_views():
+    """batch sensor (src/sensors/batch.cpp): sub-sensors tile the film
+    horizontally, each rendering its own viewpoint."""
+    import epsm_mitsuba3_tpu as mi
+    T = mi.ScalarTransform4f
+    scene = mi.load_dict({
+        "type": "scene",
+        "cams": {"type": "batch",
+                 "film": {"type": "hdrfilm", "width": 64, "height": 32,
+                          "rfilter": {"type": "box"}},
+                 "s0": {"type": "perspective", "fov": 45,
+                        "to_world": T.look_at(origin=[0, 0, 4],
+                                              target=[0, 0, 0],
+                                              up=[0, 1, 0])},
+                 "s1": {"type": "perspective", "fov": 45,
+                        "to_world": T.look_at(origin=[4, 0, 0],
+                                              target=[0, 0, 0],
+                                              up=[0, 1, 0])}},
+        "ball": {"type": "sphere", "radius": 1.0,
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {"type": "rgb",
+                                          "value": [0.8, 0.2, 0.2]}}},
+        "light": {"type": "constant", "radiance": {"type": "rgb",
+                                                   "value": 1.0}},
+    })
+    img = np.asarray(mi.render(scene, spp=4,
+                               integrator={"type": "path", "max_depth": 3}))
+    assert img.shape[:2] == (32, 64)
+    # the red ball is centered in BOTH half-films (two distinct viewpoints)
+    assert img[16, 16, 0] > img[16, 16, 2] * 2
+    assert img[16, 48, 0] > img[16, 48, 2] * 2
+    # background is the white constant emitter in both halves
+    assert np.allclose(img[2, 2], img[2, 34], atol=1e-3)
