@@ -45,7 +45,8 @@ def _medium_params(scene, medium_idx):
     alb = tab["albedo"][safe]
     in_medium = medium_idx >= 0
     sig = jnp.where(in_medium[..., None], sig, 0.0)
-    return sig, alb, tab["phase_kind"][safe], tab["phase_g"][safe], in_medium
+    return (sig, alb, tab["phase_kind"][safe], tab["phase_g"][safe],
+            tab["phase_sggx"][safe], in_medium)
 
 
 def _shadow_transmittance(scene, si_p, n_geo, ds, medium_idx, active):
@@ -55,7 +56,7 @@ def _shadow_transmittance(scene, si_p, n_geo, ds, medium_idx, active):
     sh = Ray.make(si_p + ds.d * 1e-4, ds.d,
                   maxt=ds.dist * (1.0 - 1e-3))
     occluded = scene.ray_test(sh)
-    sig, _, _, _, in_med = _medium_params(scene, medium_idx)
+    sig, _, _, _, _, in_med = _medium_params(scene, medium_idx)
     tr = MED.transmittance(sig, ds.dist)
     tr = jnp.where(occluded[..., None], 0.0, tr)
     return jnp.where(active[..., None], tr, 0.0)
@@ -82,7 +83,8 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
         si = scene.ray_intersect(ray_b)
 
         # --- free-flight sampling inside the current medium ---
-        sig, alb, ph_kind, ph_g, in_med = _medium_params(scene, st.medium)
+        sig, alb, ph_kind, ph_g, ph_s6, in_med = _medium_params(
+            scene, st.medium)
         sampler, u_t = smp.next_1d(sampler)
         sampler, u_ch = smp.next_1d(sampler)
         t_m, ch = MED.sample_free_flight(sig + 1e-20, u_t, u_ch)
@@ -158,7 +160,10 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
         f_surf, pdf_surf = B.eval_pdf(
             scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
             wo_l, surf_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
-        f_phase, pdf_phase = MED.phase_eval(ph_kind, ph_g, st.ray_d, ds.d)
+        # phase API takes wi pointing BACKWARD along the incoming ray
+        # (mitsuba's si.wi convention); passing +ray_d would flip g -> -g
+        f_phase, pdf_phase = MED.phase_eval(ph_kind, ph_g, -st.ray_d, ds.d,
+                                             s6=ph_s6)
         f_nee = jnp.where(medium_scatter[..., None],
                           f_phase[..., None], f_surf)
         pdf_nee_b = jnp.where(medium_scatter, pdf_phase, pdf_surf)
@@ -172,7 +177,8 @@ def sample_volpath(scene, sampler, ray: Ray, max_depth: int,
             scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
             s1b, s2b, active_next & ~medium_scatter, uv=si.uv,
             textures=scene.textures, vcolor=si.vcolor)
-        wo_phase, pdf_ph = MED.phase_sample(ph_kind, ph_g, st.ray_d, s2b)
+        wo_phase, pdf_ph = MED.phase_sample(ph_kind, ph_g, -st.ray_d, s2b,
+                                               s6=ph_s6)
 
         new_d = jnp.where(medium_scatter[..., None],
                           wo_phase, si.to_world(bs.wo))

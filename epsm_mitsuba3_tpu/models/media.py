@@ -26,10 +26,11 @@ PHASE_BLEND = 3     # lerp of isotropic and HG (blendphase.cpp; general
                     # two-child blends reduce to this in practice)
 PHASE_TAB = 4       # tabulated |cos|-parameterised phase (tabphase.cpp);
                     # approximated by an HG fit of the table's mean cosine
+PHASE_SGGX = 5      # SGGX specular microflakes (sggx.cpp, Heitz 2015)
 
 PHASE_NAMES = {"isotropic": PHASE_ISOTROPIC, "hg": PHASE_HG,
                "rayleigh": PHASE_RAYLEIGH, "blendphase": PHASE_BLEND,
-               "tabphase": PHASE_TAB, "sggx": PHASE_ISOTROPIC}
+               "tabphase": PHASE_TAB, "sggx": PHASE_SGGX}
 
 KIND_HOMOGENEOUS = 0
 KIND_HETEROGENEOUS = 1
@@ -47,6 +48,9 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "scale": jnp.ones((n,), f),
         "phase_kind": jnp.zeros((n,), jnp.int32),
         "phase_g": jnp.zeros((n,), f),
+        # SGGX matrix (xx, yy, zz, xy, xz, yz); identity = isotropic flakes
+        "phase_sggx": jnp.tile(
+            jnp.asarray([1, 1, 1, 0, 0, 0], f), (n, 1)),
         "grid_index": jnp.full((n,), -1, jnp.int32),
     }
 
@@ -55,7 +59,94 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
 # Phase functions (local frame: wi points backwards along the incoming ray)
 # ---------------------------------------------------------------------------
 
-def phase_sample(kind, g, wi_world, s2):
+def _sggx_sigma(s6, w):
+    """Projected microflake area sigma(w) = sqrt(w^T S w) (Heitz 2015 eq.)"""
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    q = (wx * wx * xx + wy * wy * yy + wz * wz * zz
+         + 2.0 * (wx * wy * xy + wx * wz * xz + wy * wz * yz))
+    return m.safe_sqrt(q)
+
+
+def _sggx_det(s6):
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    return (xx * (yy * zz - yz * yz) - xy * (xy * zz - yz * xz)
+            + xz * (xy * yz - yy * xz))
+
+
+def _sggx_D(s6, mvec):
+    """SGGX normal distribution D(m) = 1/(pi sqrt(det S) (m^T S^-1 m)^2)."""
+    xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+    det = jnp.maximum(_sggx_det(s6), 1e-12)
+    # adjugate rows of the symmetric S
+    a = yy * zz - yz * yz
+    b = xz * yz - xy * zz
+    c = xy * yz - xz * yy
+    d = xx * zz - xz * xz
+    e = xy * xz - xx * yz
+    f = xx * yy - xy * xy
+    mx, my, mz = mvec[..., 0], mvec[..., 1], mvec[..., 2]
+    q = (mx * mx * a + my * my * d + mz * mz * f
+         + 2.0 * (mx * my * b + mx * mz * c + my * mz * e)) / det
+    return 1.0 / jnp.maximum(jnp.pi * jnp.sqrt(det) * q * q, 1e-12)
+
+
+def _sggx_sample_vndf(s6, wi, s2):
+    """Sample a visible microflake normal (Heitz 2015, listing 2): build the
+    (wk, wj, wi) frame, project S, Cholesky-style square root, warp a
+    cosine-hemisphere sample."""
+    wk, wj = m.coordinate_system(wi)
+
+    def quad(a_, b_):
+        xx, yy, zz, xy, xz, yz = [s6[..., i] for i in range(6)]
+        return (a_[..., 0] * b_[..., 0] * xx + a_[..., 1] * b_[..., 1] * yy
+                + a_[..., 2] * b_[..., 2] * zz
+                + (a_[..., 0] * b_[..., 1] + a_[..., 1] * b_[..., 0]) * xy
+                + (a_[..., 0] * b_[..., 2] + a_[..., 2] * b_[..., 0]) * xz
+                + (a_[..., 1] * b_[..., 2] + a_[..., 2] * b_[..., 1]) * yz)
+
+    s_kk = quad(wk, wk)
+    s_kj = quad(wk, wj)
+    s_ki = quad(wk, wi)
+    s_jj = quad(wj, wj)
+    s_ji = quad(wj, wi)
+    s_ii = jnp.maximum(quad(wi, wi), 1e-12)
+
+    det = jnp.maximum(_sggx_det(s6), 1e-20)
+    tmp = m.safe_sqrt(jnp.maximum(s_jj * s_ii - s_ji * s_ji, 1e-20))
+    inv_sqrt_ii = 1.0 / jnp.sqrt(s_ii)
+    mk = jnp.stack([jnp.sqrt(det) / tmp,
+                    jnp.zeros_like(tmp), jnp.zeros_like(tmp)], -1)
+    mj = jnp.stack([-inv_sqrt_ii * (s_ki * s_ji - s_kj * s_ii) / tmp,
+                    inv_sqrt_ii * tmp, jnp.zeros_like(tmp)], -1)
+    mi_ = jnp.stack([s_ki, s_ji, s_ii], -1) * inv_sqrt_ii[..., None]
+
+    r = jnp.sqrt(s2[..., 0])
+    phi = 2.0 * jnp.pi * s2[..., 1]
+    uu = r * jnp.cos(phi)
+    vv = r * jnp.sin(phi)
+    ww = m.safe_sqrt(1.0 - uu * uu - vv * vv)
+    m_kji = m.normalize(uu[..., None] * mk + vv[..., None] * mj
+                        + ww[..., None] * mi_)
+    return (m_kji[..., 0:1] * wk + m_kji[..., 1:2] * wj
+            + m_kji[..., 2:3] * wi)
+
+
+def sggx_phase_eval(s6, wi, wo):
+    """Specular SGGX phase p(wi->wo) = D(h)/(4 sigma(wi)); wi points AWAY
+    from the collision (toward the source).  Exactly importance-sampled by
+    reflecting wi about a visible normal, so eval == pdf."""
+    h = m.normalize(wi + wo)
+    return _sggx_D(s6, h) / jnp.maximum(4.0 * _sggx_sigma(s6, wi), 1e-12)
+
+
+def sggx_phase_sample(s6, wi, s2):
+    nrm = _sggx_sample_vndf(s6, wi, s2)
+    wo = 2.0 * m.dot(wi, nrm)[..., None] * nrm - wi
+    return wo, sggx_phase_eval(s6, wi, wo)
+
+
+def phase_sample(kind, g, wi_world, s2, s6=None):
     """Sample outgoing direction; returns (wo_world, pdf). Mirrors
     PhaseFunction::sample (phase.h)."""
     iso_d = warp.square_to_uniform_sphere(s2)
@@ -65,10 +156,12 @@ def phase_sample(kind, g, wi_world, s2):
     g_ = jnp.clip(g, -0.99, 0.99)
     sqr = (1.0 - g_ * g_) / jnp.maximum(
         1.0 - g_ + 2.0 * g_ * s2[..., 0], 1e-6)
+    # NB: guard must preserve the SIGN of g (maximum(2g, eps) breaks g<0)
+    g_safe = jnp.where(jnp.abs(g_) < 1e-3, 1.0, g_)
     cos_t = jnp.where(
         jnp.abs(g_) < 1e-3,
         1.0 - 2.0 * s2[..., 0],
-        (1.0 + g_ * g_ - sqr * sqr) / jnp.maximum(2.0 * g_, 1e-6),
+        jnp.clip((1.0 + g_ * g_ - sqr * sqr) / (2.0 * g_safe), -1.0, 1.0),
     )
     sin_t = m.safe_sqrt(1.0 - cos_t * cos_t)
     phi = 2.0 * jnp.pi * s2[..., 1]
@@ -82,6 +175,11 @@ def phase_sample(kind, g, wi_world, s2):
     is_hg = kind == PHASE_HG
     wo = jnp.where(is_hg[..., None], hg_d, iso_d)
     pdf = jnp.where(is_hg, hg_pdf, iso_pdf)
+    if s6 is not None:
+        sg_d, sg_pdf = sggx_phase_sample(s6, wi_world, s2)
+        is_sg = kind == PHASE_SGGX
+        wo = jnp.where(is_sg[..., None], sg_d, wo)
+        pdf = jnp.where(is_sg, sg_pdf, pdf)
     return wo, pdf
 
 
@@ -93,7 +191,7 @@ def hg_eval(g, cos_theta):
         4.0 * jnp.pi * denom * m.safe_sqrt(denom), 1e-12)
 
 
-def phase_eval(kind, g, wi_world, wo_world):
+def phase_eval(kind, g, wi_world, wo_world, s6=None):
     """PhaseFunction::eval — returns (value, pdf) (equal for these kinds)."""
     cos_t = m.dot(-wi_world, wo_world)
     iso = jnp.full(cos_t.shape, 0.25 / jnp.pi)
@@ -104,6 +202,9 @@ def phase_eval(kind, g, wi_world, wo_world):
                     jnp.where(kind == PHASE_RAYLEIGH, ray,
                               jnp.where((kind == PHASE_BLEND)
                                         | (kind == PHASE_TAB), blend, iso)))
+    if s6 is not None:
+        val = jnp.where(kind == PHASE_SGGX,
+                        sggx_phase_eval(s6, wi_world, wo_world), val)
     return val, val
 
 

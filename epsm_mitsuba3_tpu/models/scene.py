@@ -353,6 +353,12 @@ class _Builder:
             "phase_kind": med_mod.PHASE_NAMES.get(
                 ph.get("type", "isotropic"), 0),
             "phase_g": float(ph.get("g", 0.0)),
+            # SGGX matrix: accept S=[xx,yy,zz,xy,xz,yz] or the sggx.cpp
+            # per-component keys S_xx..S_yz; identity = isotropic flakes
+            "phase_sggx": (list(ph["S"]) if "S" in ph else
+                           [float(ph.get(k, dflt)) for k, dflt in
+                            (("S_xx", 1.0), ("S_yy", 1.0), ("S_zz", 1.0),
+                             ("S_xy", 0.0), ("S_xz", 0.0), ("S_yz", 0.0))]),
             "grid_index": grid_index,
         }
         self.media_rows.append(row)
