@@ -25,9 +25,6 @@ class _Config:
     #: epsilon used when spawning rays off surfaces (mirrors
     #: mitsuba's RayEpsilon, include/mitsuba/core/math.h)
     ray_eps: float = 1.0e-4
-    #: Maximum triangles for which brute-force intersection is used
-    #: instead of BVH traversal.
-    brute_force_max_tris: int = 0
 
 
 config = _Config()

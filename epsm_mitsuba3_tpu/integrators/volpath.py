@@ -49,16 +49,56 @@ def _medium_params(scene, medium_idx):
             tab["phase_sggx"][safe], in_medium)
 
 
+#: max null-interface crossings marched along one NEE shadow ray
+_SHADOW_SEGMENTS = 4
+
+
 def _shadow_transmittance(scene, si_p, n_geo, ds, medium_idx, active):
-    """Transmittance along the NEE shadow ray: surface occlusion test plus
-    homogeneous Beer-Lambert through the current medium."""
-    from ..models.records import SurfaceInteraction  # noqa: F401
-    sh = Ray.make(si_p + ds.d * 1e-4, ds.d,
-                  maxt=ds.dist * (1.0 - 1e-3))
-    occluded = scene.ray_test(sh)
-    sig, _, _, _, _, in_med = _medium_params(scene, medium_idx)
-    tr = MED.transmittance(sig, ds.dist)
-    tr = jnp.where(occluded[..., None], 0.0, tr)
+    """Transmittance along the NEE shadow ray with null-interface
+    passthrough (volpath.cpp evaluates transmittance segment-by-segment
+    through null boundaries rather than treating them as opaque).
+
+    The ray is marched through up to ``_SHADOW_SEGMENTS`` boundaries:
+    each segment multiplies in the transmittance of the medium it
+    crosses — Beer-Lambert clipped to the segment length for homogeneous
+    media, ratio tracking for heterogeneous grids — and null interfaces
+    switch the current medium (interior on entry, vacuum on exit).  Any
+    non-null surface hit before the light terminates the ray."""
+    N = si_p.shape[0]
+    tr = jnp.ones((N, 3), si_p.dtype)
+    o = si_p + ds.d * 1e-4
+    remaining = ds.dist * (1.0 - 1e-3)
+    med = medium_idx
+    alive = active
+    for seg in range(_SHADOW_SEGMENTS):
+        sh = Ray.make(o, ds.d, maxt=remaining)
+        si = scene.ray_intersect(sh)
+        seg_t = jnp.where(si.valid, jnp.minimum(si.t, remaining), remaining)
+        sig, _, _, _, _, in_med = _medium_params(scene, med)
+        tr_seg = MED.transmittance(sig, seg_t)
+        if scene.volume_grids:
+            from ..ops.gather import take_rows
+            kind_m = take_rows(scene.media["kind"][:, None],
+                               jnp.maximum(med, 0))[..., 0]
+            is_het = in_med & (kind_m == MED.KIND_HETEROGENEOUS)
+            tr_het = MED.transmittance_hetero(
+                scene.volume_grids[0], sig, o, ds.d, seg_t,
+                0x51AD0 + seg)
+            tr_seg = jnp.where(is_het[..., None], tr_het[..., None], tr_seg)
+        tr = tr * jnp.where(alive[..., None], tr_seg, 1.0)
+        flags = B.flags_of(scene.bsdfs, si.bsdf_index)
+        is_null = B.has_flag(flags, B.BSDFFlags.Null)
+        blocked = si.valid & ~is_null
+        tr = jnp.where((alive & blocked)[..., None], 0.0, tr)
+        # pass through the null interface, switching medium by crossing side
+        crossing = alive & si.valid & is_null
+        entering = m.dot(ds.d, si.n) < 0.0
+        shape_medium = scene.shape_interior[jnp.maximum(si.shape_index, 0)]
+        med = jnp.where(crossing & entering, shape_medium, med)
+        med = jnp.where(crossing & ~entering, -1, med)
+        o = jnp.where(crossing[..., None], si.p + ds.d * 1e-4, o)
+        remaining = jnp.where(crossing, remaining - seg_t - 1e-4, remaining)
+        alive = crossing
     return jnp.where(active[..., None], tr, 0.0)
 
 

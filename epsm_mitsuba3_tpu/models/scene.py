@@ -539,14 +539,29 @@ class _Builder:
             rfk = (rf.get("type", "gaussian") if isinstance(rf, dict)
                    else str(rf))
             self.spp = int(sampler.get("sample_count", self.spp))
+            # batch.cpp:49-58 requires the film width divisible by the
+            # number of children and OVERRIDES each child film's size to
+            # (width/S, height) — equal tiling is the reference semantics;
+            # heterogeneous sub-films do not exist upstream either.
+            for s in subs:
+                if s.get("type") != "perspective":
+                    raise ValueError(
+                        "batch sensor: only perspective sub-sensors are "
+                        f"supported (got {s.get('type')!r})")
             sub_tw = jnp.stack([jnp.asarray(_transform(s.get("to_world")))
                                 for s in subs])
             w0 = int(subs[0].get("film", {}).get("width", 256))
             h0 = int(subs[0].get("film", {}).get("height", 256))
+            bw = int(film.get("width", w0 * len(subs)))
+            if bw % len(subs) != 0:
+                raise ValueError(
+                    f"batch sensor: film width {bw} must be divisible by "
+                    f"the number of child sensors {len(subs)} "
+                    "(batch.cpp:50-54)")
             self.sensors.append(Sensor(
                 to_world=sub_tw[0],
                 kind="batch",
-                width=int(film.get("width", w0 * len(subs))),
+                width=bw,
                 height=int(film.get("height", h0)),
                 rfilter=rfk,
                 sub_to_world=sub_tw,

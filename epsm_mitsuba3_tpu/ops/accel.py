@@ -25,12 +25,24 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_pallas_bvh(scene, ray) -> bool:
+    """Large-scene TPU path: packet traversal with VMEM-resident tree
+    (ops/pallas_traverse.py) — the OptiX-megakernel analog."""
+    from .pallas_traverse import BLOCK_RAYS, PALLAS_BVH_MAX_TRIS
+    return (_on_tpu()
+            and scene.faces.shape[0] <= PALLAS_BVH_MAX_TRIS
+            and ray.o.shape[0] >= BLOCK_RAYS)
+
+
 def ray_intersect(scene, ray):
     if use_brute_force(scene):
         if _on_tpu() and ray.o.shape[0] >= 4096:
             from . import pallas_intersect as PI
             return PI.ray_intersect_pallas(ray, scene.vertices, scene.faces)
         return I.ray_intersect_brute(ray, scene.vertices, scene.faces)
+    if _use_pallas_bvh(scene, ray):
+        from . import pallas_traverse as PT
+        return PT.bvh_ray_intersect_pallas(scene, ray)
     from . import traverse as T
     return T.bvh_ray_intersect(scene, ray)
 
@@ -41,5 +53,8 @@ def ray_test(scene, ray):
             from . import pallas_intersect as PI
             return PI.ray_test_pallas(ray, scene.vertices, scene.faces)
         return I.ray_test_brute(ray, scene.vertices, scene.faces)
+    if _use_pallas_bvh(scene, ray):
+        from . import pallas_traverse as PT
+        return PT.bvh_ray_test_pallas(scene, ray)
     from . import traverse as T
     return T.bvh_ray_test(scene, ray)

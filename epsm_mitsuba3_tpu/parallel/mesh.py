@@ -212,7 +212,7 @@ def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
             sensor, bwd_spp, seed, lane0, n_local)
         g_scene = epsm_mod.backward_core(
             scene, g5, ray, sampler, lane0, s_idx, max_depth, rr_depth,
-            caustic, bwd_spp)
+            caustic, bwd_spp, weight)
         # parameter cotangents reduce over the ray shards (ICI psum)
         return jax.tree.map(
             lambda g: jax.lax.psum(g, "rays")

@@ -37,11 +37,27 @@ inline const char* next_line(const char* p, const char* end) {
     return p < end ? p + 1 : end;
 }
 
+// vertex-tuple key: three full 32-bit indices, non-overlapping (a shifted
+// XOR pack collides for indices >= 2^20 and silently merges vertices)
+struct VKey {
+    int32_t p, t, n;
+    bool operator==(const VKey& o) const {
+        return p == o.p && t == o.t && n == o.n;
+    }
+};
+struct VKeyHash {
+    size_t operator()(const VKey& k) const {
+        uint64_t h = (uint64_t)(uint32_t)k.p * 0x9E3779B185EBCA87ULL;
+        h ^= ((uint64_t)(uint32_t)k.t + 0xC2B2AE3D27D4EB4FULL) + (h << 6);
+        h ^= ((uint64_t)(uint32_t)k.n + 0x165667B19E3779F9ULL) + (h >> 3);
+        return (size_t)h;
+    }
+};
+using VMap = std::unordered_map<VKey, int32_t, VKeyHash>;
+
 // resolve an OBJ "v/vt/vn" tuple to a flat vertex id (deduplicated)
-int32_t resolve(ObjData& d, std::unordered_map<uint64_t, int32_t>& map,
-                int pi, int ti, int ni) {
-    uint64_t key = (uint64_t)(uint32_t)pi << 40 ^ (uint64_t)(uint32_t)ti << 20
-                   ^ (uint32_t)ni;
+int32_t resolve(ObjData& d, VMap& map, int pi, int ti, int ni) {
+    VKey key{pi, ti, ni};
     auto it = map.find(key);
     if (it != map.end()) return it->second;
     int32_t idx = (int32_t)(d.out_pos.size() / 3);
@@ -67,7 +83,7 @@ int32_t resolve(ObjData& d, std::unordered_map<uint64_t, int32_t>& map,
 
 ObjData* parse_obj(const char* text, size_t len) {
     auto* d = new ObjData();
-    std::unordered_map<uint64_t, int32_t> map;
+    VMap map;
     const char* p = text;
     const char* end = text + len;
     std::vector<int32_t> poly;
@@ -98,19 +114,28 @@ ObjData* parse_obj(const char* text, size_t len) {
             while (q < end && *q != '\n') {
                 q = skip_ws(q, end);
                 if (q >= end || *q == '\n' || *q == '#') break;
+                const char* tok = q;
                 long pi = strtol(q, (char**)&q, 10);
+                if (q == tok) {
+                    // non-numeric token: malformed face record — bail to the
+                    // python fallback (never spin; strtol left q unadvanced)
+                    delete d;
+                    return nullptr;
+                }
                 long ti = 0, ni = 0;
                 bool has_t = false, has_n = false;
                 if (q < end && *q == '/') {
                     ++q;
-                    if (*q != '/') {
+                    if (q < end && *q != '/') {
+                        const char* t0 = q;
                         ti = strtol(q, (char**)&q, 10);
-                        has_t = true;
+                        has_t = q != t0;
                     }
                     if (q < end && *q == '/') {
                         ++q;
+                        const char* n0 = q;
                         ni = strtol(q, (char**)&q, 10);
-                        has_n = true;
+                        has_n = q != n0;
                     }
                 }
                 int npos = (int)(d->positions.size() / 3);
@@ -119,6 +144,13 @@ ObjData* parse_obj(const char* text, size_t len) {
                 int pidx = pi > 0 ? (int)pi - 1 : npos + (int)pi;
                 int tidx = has_t ? (ti > 0 ? (int)ti - 1 : nuv + (int)ti) : -1;
                 int nidx = has_n ? (ni > 0 ? (int)ni - 1 : nnrm + (int)ni) : -1;
+                // validate against array sizes: a failed/out-of-range index
+                // would be an out-of-bounds vector read (UB)
+                if (pidx < 0 || pidx >= npos || tidx >= nuv || tidx < -1 ||
+                    nidx >= nnrm || nidx < -1) {
+                    delete d;
+                    return nullptr;
+                }
                 poly.push_back(resolve(*d, map, pidx, tidx, nidx));
             }
             for (size_t k = 1; k + 1 < poly.size(); ++k) {
@@ -147,6 +179,7 @@ void* epsm_obj_parse(const char* path, int64_t* n_verts, int64_t* n_faces,
     size_t rd = fread(buf.data(), 1, len, f);
     fclose(f);
     ObjData* d = parse_obj(buf.data(), rd);
+    if (!d) return nullptr;  // malformed input -> python fallback
     *n_verts = (int64_t)(d->out_pos.size() / 3);
     *n_faces = (int64_t)(d->faces.size() / 3);
     *has_normals = d->has_normals ? 1 : 0;

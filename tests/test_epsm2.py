@@ -152,3 +152,43 @@ def test_egg_caustic_recovers():
     d0 = float(np.abs(np.asarray(hist[0]["trans"])).mean())
     d1 = float(np.abs(np.asarray(hist[-1]["trans"])).mean())
     assert d1 < d0, (d0, d1)
+
+
+def test_manifold_color_adjoint_matches_prb():
+    """The color-channel adjoint δL must flow through the manifold backward
+    into radiance/material parameters (VERDICT r1 Missing #1): albedo and
+    emitter-radiance gradients under the ``manifold`` integrator must match
+    the ``prb`` gradients on a diffuse scene.
+
+    Reference: δL = dr.grad(L) from the film-splat adjoint (epsm.py:243-247)
+    feeds sample_path(mode=Backward, δL=δL) (epsm.py:282-297)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from scenes import cornell_box
+    from epsm_mitsuba3_tpu.ad import prb
+
+    res, spp, depth = 16, 4, 3
+    scene = mi.load_dict(cornell_box(res=res, spp=spp, max_depth=depth))
+    rng = np.random.default_rng(7)
+    g3 = jnp.asarray(rng.normal(0, 1, (res, res, 3)), jnp.float32)
+
+    def loss_prb(scene):
+        img = prb.render_prb(scene, seed=0, spp=spp, max_depth=depth)
+        return jnp.sum(img * g3)
+
+    g_prb = jax.grad(loss_prb, allow_int=True)(scene)
+
+    # manifold: same seed/spp for the backward sensor wavefront
+    g5 = jnp.concatenate([g3, jnp.zeros((res, res, 2), jnp.float32)], -1)
+    gs = E.render_backward(scene, g5, jnp.uint32(0), depth, 5, False,
+                           -1, spp)
+
+    for key in ("reflectance",):
+        a = np.asarray(gs.bsdfs[key])
+        b = np.asarray(g_prb.bsdfs[key])
+        assert np.abs(b).max() > 0, "prb baseline must be nonzero"
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    a = np.asarray(gs.emitters["radiance"])
+    b = np.asarray(g_prb.emitters["radiance"])
+    assert np.abs(b).max() > 0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
