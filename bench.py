@@ -24,23 +24,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
 
-def main():
+def _bench_scene(scene_dict, res, spp_chunk, n_chunks, max_depth):
     import jax
     import jax.numpy as jnp
-    import numpy as np
-    from scenes import cornell_box
     import epsm_mitsuba3_tpu as mi
     from epsm_mitsuba3_tpu.ad import prb
 
-    res = int(os.environ.get("BENCH_RES", 512))
-    spp_total = int(os.environ.get("BENCH_SPP", 64))
-    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 4))
-    max_depth = int(os.environ.get("BENCH_DEPTH", 6))
-    n_chunks = max(1, spp_total // spp_chunk)
-
-    scene = mi.load_dict(cornell_box(res=res, spp=spp_chunk,
-                                     max_depth=max_depth))
-
+    scene = mi.load_dict(scene_dict)
     render_fn = prb._make_render(sensor_idx=0, spp=spp_chunk,
                                  max_depth=max_depth, rr_depth=5)
 
@@ -53,9 +43,7 @@ def main():
         return l, g.vertices
 
     img_ref = jnp.zeros((res, res, 3), jnp.float32)
-
-    # warmup/compile
-    l, gv = fwd_bwd_pass(scene, jnp.uint32(0), img_ref)
+    l, gv = fwd_bwd_pass(scene, jnp.uint32(0), img_ref)   # warmup/compile
     l.block_until_ready()
 
     t0 = time.perf_counter()
@@ -69,13 +57,41 @@ def main():
     # fwd: closest + shadow per bounce; bwd replay: primal replay + grad
     # replay each re-trace the same rays => 3x the forward ray count
     rays = lanes * max_depth * 2 * 3 * n_chunks
-    mrays = rays / dt / 1e6
+    return rays / dt / 1e6, int(scene.faces.shape[0])
+
+
+def main():
+    from scenes import cornell_box, cornell_box_mesh
+
+    res = int(os.environ.get("BENCH_RES", 512))
+    spp_total = int(os.environ.get("BENCH_SPP", 64))
+    spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 4))
+    max_depth = int(os.environ.get("BENCH_DEPTH", 6))
+    n_chunks = max(1, spp_total // spp_chunk)
+
+    mrays, _ = _bench_scene(
+        cornell_box(res=res, spp=spp_chunk, max_depth=max_depth),
+        res, spp_chunk, n_chunks, max_depth)
+
+    # BVH-path workload: >=50k-triangle displaced mesh in the box — the
+    # path bathroom-class scenes actually take (pallas packet traversal
+    # on TPU, XLA while-loop traversal otherwise)
+    extra = {}
+    try:
+        bvh_mrays, n_tris = _bench_scene(
+            cornell_box_mesh(res=res, spp=spp_chunk, max_depth=max_depth),
+            res, spp_chunk, max(1, n_chunks // 4), max_depth)
+        extra = {"bvh_scene_mrays": round(bvh_mrays, 2),
+                 "bvh_scene_tris": n_tris}
+    except Exception as e:    # never lose the primary metric
+        extra = {"bvh_scene_error": str(e)[:200]}
 
     print(json.dumps({
         "metric": f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp d{max_depth}",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": None,
+        **extra,
     }))
 
 

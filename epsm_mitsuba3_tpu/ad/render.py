@@ -132,7 +132,13 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         return aov.render_moment(scene, seed=seed, sensor_idx=sensor,
                                  spp=spp,
                                  max_depth=int(cfg.get("max_depth", 4)))
-    if kind in ("volpath", "volpathmis", "prbvolpath"):
+    if kind == "prbvolpath":
+        from ..integrators import volpath
+        return volpath.render_volpath_prb(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)))
+    if kind in ("volpath", "volpathmis"):
         from ..integrators import volpath
         return volpath.render_volpath(
             scene, seed=seed, sensor_idx=sensor, spp=spp,

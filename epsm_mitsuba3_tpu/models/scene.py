@@ -113,7 +113,7 @@ class Scene:
 # ===========================================================================
 
 _MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
-               "sphere", "cylinder", "instance", "shapegroup")
+               "sphere", "cylinder", "instance", "shapegroup", "mesh")
 
 
 def _rgb(value, default=(1.0, 1.0, 1.0)):
@@ -346,8 +346,7 @@ class _Builder:
         row = {
             "kind": med_mod.MEDIUM_NAMES[t]
             if grid_index < 0 else med_mod.KIND_HETEROGENEOUS,
-            "sigma_t": _rgb(dens if not isinstance(dens, dict) else None,
-                            (1.0, 1.0, 1.0)),
+            "sigma_t": _rgb(dens, (1.0, 1.0, 1.0)),
             "albedo": _rgb(d.get("albedo"), (0.75, 0.75, 0.75)),
             "scale": float(d.get("scale", 1.0)),
             "phase_kind": med_mod.PHASE_NAMES.get(
@@ -450,9 +449,19 @@ class _Builder:
             mesh = shapes_mod.sphere(
                 radius=float(d.get("radius", 1.0)),
                 center=tuple(d.get("center", (0.0, 0.0, 0.0))),
+                subdiv=int(d.get("subdiv", 32)),
             )
         elif t == "cylinder":
             mesh = shapes_mod.cylinder(radius=float(d.get("radius", 1.0)))
+        elif t == "mesh":
+            # raw in-memory mesh (vertex/face arrays) — procedural assets,
+            # SMPL bodies, benchmark geometry
+            import numpy as _np
+            mesh = {"vertices": _np.asarray(d["vertices"], _np.float32),
+                    "faces": _np.asarray(d["faces"], _np.int32)}
+            for k in ("normals", "uvs"):
+                if k in d:
+                    mesh[k] = _np.asarray(d[k], _np.float32)
         else:
             raise ValueError(f"unsupported shape type '{t}'")
 

