@@ -51,6 +51,7 @@ from .bvh import MAX_LEAF4
 
 BLOCK_SUB = 32
 BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step
+SUB_CULL = 8                          # sublane rows per leaf-cull group
 STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
 PALLAS_BVH_MAX_TRIS = 120_000
@@ -92,11 +93,54 @@ def _mt(ox, oy, oz, dx, dy, dz, tri):
     return t, u, v, hit
 
 
+_BIG = 3.0e38   # python float: jnp constants would be captured by pallas
+
+
+def _slab4(rec, ox, oy, oz, ix, iy, iz):
+    """Slab tests of all lanes against the 4 inlined child boxes of one
+    BVH4 record.  Returns [(near, far)] * 4 (vector, per lane)."""
+    out = []
+    for k in range(4):
+        b = 8 + 6 * k
+        t0x = (rec[b + 0, 0] - ox) * ix
+        t1x = (rec[b + 3, 0] - ox) * ix
+        t0y = (rec[b + 1, 0] - oy) * iy
+        t1y = (rec[b + 4, 0] - oy) * iy
+        t0z = (rec[b + 2, 0] - oz) * iz
+        t1z = (rec[b + 5, 0] - oz) * iz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        out.append((near, far))
+    return out
+
+
+def _sort4_desc(items):
+    """Batcher sorting network on 4 (key, payload...) scalar tuples,
+    descending by key — pushes far children first so the nearest pops
+    first (ordered traversal enables the stale-entry t-cull)."""
+    def cswap(a, b):
+        swap = a[0] < b[0]
+        sel = lambda x, y: jnp.where(swap, y, x)
+        return (tuple(sel(x, y) for x, y in zip(a, b)),
+                tuple(sel(y, x) for x, y in zip(a, b)))
+    i0, i1, i2, i3 = items
+    i0, i1 = cswap(i0, i1)
+    i2, i3 = cswap(i2, i3)
+    i0, i2 = cswap(i0, i2)
+    i1, i3 = cswap(i1, i3)
+    i1, i2 = cswap(i1, i2)
+    return [i0, i1, i2, i3]
+
+
 def _traverse_kernel(nodes_ref, tri_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      maxt_ref,
                      t_ref, u_ref, v_ref, slot_ref,
-                     stack_ref):
+                     stack_ref, key_ref, tmax_ref, npush_ref):
     ox = ox_ref[:, :]
     oy = oy_ref[:, :]
     oz = oz_ref[:, :]
@@ -115,64 +159,173 @@ def _traverse_kernel(nodes_ref, tri_ref,
     v_ref[:, :] = jnp.zeros_like(ox)
     slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
     stack_ref[0] = 0                       # root
+    key_ref[0] = jnp.float32(0.0)
+    tmax_ref[0] = jnp.max(maxt_ref[:, :])  # packet t upper bound
     max_tri_slot = tri_ref.shape[0] * 128 - 1
 
     def body(sp):
         node = stack_ref[sp - 1]
-        rec = _fetch(nodes_ref, node)      # (32,1)
+        nkey = key_ref[sp - 1]
         sp = sp - 1
-        for k in range(4):
-            b = 8 + 6 * k
-            cnt = rec[4 + k, 0]            # -1 empty | 0 inner | >0 leaf
-            cid = rec[k, 0].astype(jnp.int32)
+        # stale-entry cull: when this node was pushed, some lane had
+        # near < t_best; leaf hits since may have shrunk every lane's t
+        # below the packet-min entry distance — skip the whole subtree
+        live = nkey < tmax_ref[0]
+        npush_ref[0] = jnp.int32(0)        # pushes this pop
+
+        @pl.when(live)
+        def _():
+            rec = _fetch(nodes_ref, node)  # (32,1)
+            slabs = _slab4(rec, ox, oy, oz, ix, iy, iz)
             t_best = t_ref[:, :]
-            t0x = (rec[b + 0, 0] - ox) * ix
-            t1x = (rec[b + 3, 0] - ox) * ix
-            t0y = (rec[b + 1, 0] - oy) * iy
-            t1y = (rec[b + 4, 0] - oy) * iy
-            t0z = (rec[b + 2, 0] - oz) * iz
-            t1z = (rec[b + 5, 0] - oz) * iz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                          jnp.maximum(t0y, t1y)),
-                              jnp.maximum(t0z, t1z))
-            hit = (near <= far) & (far > 1e-6) & (near < t_best)
+            inner = []
+            any_leaf_hit = jnp.bool_(False)
+            for k in range(4):
+                cnt = rec[4 + k, 0]        # -1 empty | 0 inner | >0 leaf
+                cid = rec[k, 0].astype(jnp.int32)
+                near, far = slabs[k]
+                hit = (near <= far) & (far > 1e-6) & (near < t_best)
+                anyk = jnp.any(hit)
+                is_leaf = cnt > 0.5
+                cnt_i = cnt.astype(jnp.int32)
+
+                @pl.when(anyk & is_leaf)
+                def _(cid=cid, cnt_i=cnt_i, hit=hit):
+                    # fetch the leaf's triangles once, then test per
+                    # sub-block so rows whose rays all miss the child
+                    # box skip the Moeller-Trumbore vector work
+                    tris = [_fetch(tri_ref,
+                                   jnp.minimum(cid + j, max_tri_slot))
+                            for j in range(MAX_LEAF4)]
+                    for r0 in range(0, ox.shape[0], SUB_CULL):
+                        r1 = r0 + SUB_CULL
+
+                        @pl.when(jnp.any(hit[r0:r1]))
+                        def _(r0=r0, r1=r1):
+                            tb = t_ref[r0:r1, :]
+                            ub = u_ref[r0:r1, :]
+                            vb = v_ref[r0:r1, :]
+                            sb = slot_ref[r0:r1, :]
+                            for j in range(MAX_LEAF4):
+                                t, u, v, h = _mt(ox[r0:r1], oy[r0:r1],
+                                                 oz[r0:r1], dx[r0:r1],
+                                                 dy[r0:r1], dz[r0:r1],
+                                                 tris[j])
+                                h = h & (t > 1e-6) & (t < tb) & (j < cnt_i)
+                                tb = jnp.where(h, t, tb)
+                                ub = jnp.where(h, u, ub)
+                                vb = jnp.where(h, v, vb)
+                                sb = jnp.where(h, cid + j, sb)
+                            t_ref[r0:r1, :] = tb
+                            u_ref[r0:r1, :] = ub
+                            v_ref[r0:r1, :] = vb
+                            slot_ref[r0:r1, :] = sb
+
+                any_leaf_hit = any_leaf_hit | (anyk & is_leaf)
+                # inner child: packet-min entry distance is the ordering
+                # key AND the stale-cull key
+                kkey = jnp.min(jnp.where(hit, near, _BIG))
+                valid = anyk & (cnt > -0.5) & (~is_leaf)
+                inner.append((jnp.where(valid, kkey, _BIG), cid))
+
+            @pl.when(any_leaf_hit)
+            def _():
+                # t only shrinks; refresh the packet upper bound
+                tmax_ref[0] = jnp.max(t_ref[:, :])
+
+            # push far-first so the nearest subtree pops first
+            shorted = _sort4_desc(inner)
+            pos = jnp.int32(0)
+            for kkey, cid in shorted:
+                ok = (kkey < _BIG) & (sp + pos < STACK_SIZE)
+
+                @pl.when(ok)
+                def _(kkey=kkey, cid=cid, pos=pos):
+                    stack_ref[sp + pos] = cid
+                    key_ref[sp + pos] = kkey
+
+                pos = pos + jnp.where(ok, 1, 0)
+            npush_ref[0] = pos
+
+        return sp + npush_ref[0]
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, 1)
+
+
+def _anyhit_kernel(nodes_ref, tri_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   maxt_ref,
+                   occ_ref,
+                   stack_ref):
+    """Occlusion-only traversal (rtcOccluded16 analog): no hit record
+    bookkeeping, prunes against the fixed ray extent, and the whole block
+    exits as soon as every lane is occluded."""
+    ox = ox_ref[:, :]
+    oy = oy_ref[:, :]
+    oz = oz_ref[:, :]
+    dx = dx_ref[:, :]
+    dy = dy_ref[:, :]
+    dz = dz_ref[:, :]
+    maxt = maxt_ref[:, :]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-12, c,
+                               jnp.where(c >= 0, 1e-12, -1e-12))
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    # lanes that cannot be hit (padding / zero-extent rays) start occluded
+    # so the all-occluded early exit can fire
+    occ_ref[:, :] = (maxt <= 1e-6).astype(jnp.int32)
+    stack_ref[0] = 0
+    max_tri_slot = tri_ref.shape[0] * 128 - 1
+
+    def body(carry):
+        sp, _ = carry
+        node = stack_ref[sp - 1]
+        sp = sp - 1
+        rec = _fetch(nodes_ref, node)
+        slabs = _slab4(rec, ox, oy, oz, ix, iy, iz)
+        occ = occ_ref[:, :] > 0
+        for k in range(4):
+            cnt = rec[4 + k, 0]
+            cid = rec[k, 0].astype(jnp.int32)
+            near, far = slabs[k]
+            hit = (near <= far) & (far > 1e-6) & (near < maxt) & ~occ
             anyk = jnp.any(hit)
             is_leaf = cnt > 0.5
             cnt_i = cnt.astype(jnp.int32)
 
             @pl.when(anyk & is_leaf)
-            def _():
-                tb = t_ref[:, :]
-                ub = u_ref[:, :]
-                vb = v_ref[:, :]
-                sb = slot_ref[:, :]
-                for j in range(MAX_LEAF4):
-                    slot = jnp.minimum(cid + j, max_tri_slot)
-                    tri = _fetch(tri_ref, slot)
-                    t, u, v, h = _mt(ox, oy, oz, dx, dy, dz, tri)
-                    h = h & (t > 1e-6) & (t < tb) & (j < cnt_i)
-                    tb = jnp.where(h, t, tb)
-                    ub = jnp.where(h, u, ub)
-                    vb = jnp.where(h, v, vb)
-                    sb = jnp.where(h, cid + j, sb)
-                t_ref[:, :] = tb
-                u_ref[:, :] = ub
-                v_ref[:, :] = vb
-                slot_ref[:, :] = sb
+            def _(cid=cid, cnt_i=cnt_i, hit=hit):
+                tris = [_fetch(tri_ref, jnp.minimum(cid + j, max_tri_slot))
+                        for j in range(MAX_LEAF4)]
+                for r0 in range(0, ox.shape[0], SUB_CULL):
+                    r1 = r0 + SUB_CULL
+
+                    @pl.when(jnp.any(hit[r0:r1]))
+                    def _(r0=r0, r1=r1):
+                        ob = occ_ref[r0:r1, :]
+                        for j in range(MAX_LEAF4):
+                            t, _, _, h = _mt(ox[r0:r1], oy[r0:r1],
+                                             oz[r0:r1], dx[r0:r1],
+                                             dy[r0:r1], dz[r0:r1], tris[j])
+                            h = h & (t > 1e-6) & (t < maxt[r0:r1]) & \
+                                (j < cnt_i)
+                            ob = jnp.where(h, 1, ob)
+                        occ_ref[r0:r1, :] = ob
 
             push = anyk & (cnt > -0.5) & (~is_leaf) & (sp < STACK_SIZE)
 
             @pl.when(push)
-            def _():
+            def _(cid=cid):
                 stack_ref[sp] = cid
 
             sp = sp + jnp.where(push, 1, 0)
-        return sp
+        return sp, jnp.all(occ_ref[:, :] > 0)
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, 1)
+    jax.lax.while_loop(lambda c: (c[0] > 0) & ~c[1], body,
+                       (1, jnp.bool_(False)))
 
 
 def _pack_component_major(arr2, comps):
@@ -202,10 +355,33 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False):
             jax.ShapeDtypeStruct((M, 128), jnp.float32),
             jax.ShapeDtypeStruct((M, 128), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((STACK_SIZE + 8,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE + 8,), jnp.int32),
+                        pltpu.SMEM((STACK_SIZE + 8,), jnp.float32),
+                        pltpu.SMEM((1,), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_anyhit(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
+                interpret=False):
+    M = ox.shape[0]                       # (M, 128)
+    grid = M // BLOCK_SUB
+    ray_spec = pl.BlockSpec((BLOCK_SUB, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        _anyhit_kernel,
+        grid=(grid,),
+        in_specs=[full, full] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((M, 128), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE + 8,), jnp.int32)],
+        interpret=interpret,
+    )(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt)
+    return occ
 
 
 def pack_scene(bvh, vertices, faces):
@@ -235,6 +411,34 @@ def pack_scene(bvh, vertices, faces):
     return _pack_component_major(rec, 32), _pack_component_major(tri9, 16)
 
 
+def _expand_bits10(v):
+    """Spread the low 10 bits of ``v`` so there are 2 zero bits between
+    each (the classic Morton interleave expansion)."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def sort_keys(o, d, bmin, bmax):
+    """Coherence keys: direction octant (3 bits) then a 30-bit Morton code
+    of the origin inside the scene bounds.  Sorting a bounce wavefront by
+    this key groups rays that traverse the same BVH subtrees into the same
+    Pallas block, shrinking each packet's visited-node union (the packet
+    kernel's cost driver for incoherent rays)."""
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+              + 4 * (d[:, 2] < 0).astype(jnp.uint32))
+    ext = jnp.maximum(bmax - bmin, 1e-6)
+    q = jnp.clip((o - bmin) / ext, 0.0, 1.0)
+    qi = (q * 511.0).astype(jnp.uint32)          # 9 bits/axis -> 27 total
+    morton = (_expand_bits10(qi[:, 0])
+              | (_expand_bits10(qi[:, 1]) << 1)
+              | (_expand_bits10(qi[:, 2]) << 2))
+    return (octant << 27) | morton
+
+
 def _prep_rays(ray: Ray):
     o = jax.lax.stop_gradient(ray.o)
     d = jax.lax.stop_gradient(ray.d)
@@ -256,8 +460,29 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def bvh_ray_intersect_pallas(scene, ray: Ray) -> PreliminaryIntersection:
+def bvh_ray_intersect_pallas(scene, ray: Ray,
+                             sort: bool = True) -> PreliminaryIntersection:
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
+    o = jax.lax.stop_gradient(ray.o)
+    dvec = jax.lax.stop_gradient(ray.d)
+    n = o.shape[0]
+    maxt_in = jnp.where(jnp.isfinite(ray.maxt), ray.maxt,
+                        jnp.full((n,), jnp.float32(3.0e38)))
+    if sort:
+        # coherence sort.  Permutation gathers on (n,3) arrays lower to
+        # slow row-gathers on TPU (~10 ms for 256k rays), so both the
+        # sort and the un-sort ride multi-operand lax.sort (bitonic,
+        # fully vectorized, ~0.1 ms) instead of argsort+take.
+        root = scene.bvh.c4_node[0]
+        bmin = jnp.min(scene.bvh.bmin[root], axis=0)
+        bmax = jnp.max(scene.bvh.bmax[root], axis=0)
+        keys = sort_keys(o, dvec, bmin, bmax)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        (_, idx_s, ox0, oy0, oz0, dx0, dy0, dz0, mt0) = jax.lax.sort(
+            (keys, idx, o[:, 0], o[:, 1], o[:, 2],
+             dvec[:, 0], dvec[:, 1], dvec[:, 2], maxt_in), num_keys=1)
+        ray = Ray.make(jnp.stack([ox0, oy0, oz0], -1),
+                       jnp.stack([dx0, dy0, dz0], -1), maxt=mt0)
     ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray)
     t, u, v, slot = _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
                          interpret=_interpret())
@@ -265,6 +490,8 @@ def bvh_ray_intersect_pallas(scene, ray: Ray) -> PreliminaryIntersection:
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]
     slot = slot.reshape(-1)[:n]
+    if sort:
+        _, t, u, v, slot = jax.lax.sort((idx_s, t, u, v, slot), num_keys=1)
     valid = slot >= 0
     prim = scene.bvh.order[jnp.maximum(slot, 0)]
     return PreliminaryIntersection(
@@ -275,6 +502,32 @@ def bvh_ray_intersect_pallas(scene, ray: Ray) -> PreliminaryIntersection:
     )
 
 
-def bvh_ray_test_pallas(scene, ray: Ray) -> jnp.ndarray:
-    pi = bvh_ray_intersect_pallas(scene, ray)
-    return pi.valid
+def bvh_ray_test_pallas(scene, ray: Ray, sort: bool = True) -> jnp.ndarray:
+    """Occlusion query via the dedicated any-hit kernel (no hit-record
+    bookkeeping, fixed-extent pruning, all-occluded block early exit)."""
+    nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
+    o = jax.lax.stop_gradient(ray.o)
+    dvec = jax.lax.stop_gradient(ray.d)
+    n = o.shape[0]
+    maxt_in = jnp.where(jnp.isfinite(ray.maxt), ray.maxt,
+                        jnp.full((n,), jnp.float32(3.0e38)))
+    if sort:
+        root = scene.bvh.c4_node[0]
+        bmin = jnp.min(scene.bvh.bmin[root], axis=0)
+        bmax = jnp.max(scene.bvh.bmax[root], axis=0)
+        keys = sort_keys(o, dvec, bmin, bmax)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        (_, idx_s, ox0, oy0, oz0, dx0, dy0, dz0, mt0) = jax.lax.sort(
+            (keys, idx, o[:, 0], o[:, 1], o[:, 2],
+             dvec[:, 0], dvec[:, 1], dvec[:, 2], maxt_in), num_keys=1)
+        ray = Ray.make(jnp.stack([ox0, oy0, oz0], -1),
+                       jnp.stack([dx0, dy0, dz0], -1), maxt=mt0)
+    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray)
+    occ = _run_anyhit(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
+                      interpret=_interpret())
+    occ = occ.reshape(-1)[:n]
+    if sort:
+        _, occ = jax.lax.sort((idx_s, occ), num_keys=1)
+    # zero-extent rays were seeded occluded for the early-exit; report
+    # them unoccluded (matching closest-hit semantics: no hit found)
+    return (occ > 0) & (maxt_in > 1e-6)
