@@ -1,0 +1,227 @@
+"""Reparameterized direct-illumination integrator (direct_reparam.py:1-217).
+
+Unlike the PRB family this is a *single-pass attached* estimator: direct
+illumination has only two ray segments, so instead of a radiative-backprop
+replay the whole estimator is evaluated attached in the backward pass and
+differentiated in one ``jax.grad`` sweep.  Three reparameterization sites
+(reference ``sample()``):
+
+  * camera ray           (depth 0) — visibility of directly-seen shapes,
+  * NEE shadow ray       (depth 1) — moving shadow silhouettes,
+  * BSDF-sampled ray     (depth 1) — silhouettes in the sampled lobe,
+
+each contributing a warp-field direction + divergence determinant from
+``ad/reparam.reparameterize_ray``.  The shadow/BSDF rays originate from a
+``FollowShape`` interaction so the receiver point moves with its shape
+(reference direct_reparam.py:166-177).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as m
+from ..integrators import common, direct as D
+from ..models import bsdf as B
+from ..models import emitters as E
+from ..models import samplers as smp
+from ..models.records import Ray, RayFlags
+from ..ops import intersect as I
+from . import prb
+from .reparam import reparameterize_ray
+
+
+def _attached_L(scene, sampler, ray: Ray, n: int, seed,
+                emitter_samples: int, bsdf_samples: int, rp_cfg: dict):
+    """Fully-attached direct-illumination estimator, RNG-identical to
+    ``integrators.direct.sample_direct`` (the primal)."""
+    num_rays = int(rp_cfg.get("num_rays", 8))
+    kappa = float(rp_cfg.get("kappa", 1e5))
+    exponent = float(rp_cfg.get("exponent", 3.0))
+    scene_d = jax.lax.stop_gradient(scene)
+
+    def rp(salt, r, active):
+        rs = smp.seed(seed * jnp.uint32(0x9E3779B9) + jnp.uint32(salt), n)
+        _, d_r, det = reparameterize_ray(scene, rs, r, active,
+                                         num_rays=num_rays, kappa=kappa,
+                                         exponent=exponent)
+        return d_r, det
+
+    # --- camera ray reparam (depth 0) ---------------------------------
+    d0, det0 = rp(11, ray, jnp.ones((n,), bool))
+    ray_rep = Ray.make(ray.o, d0)
+    pi = scene_d.ray_intersect_preliminary(
+        jax.tree.map(jax.lax.stop_gradient, ray))
+    si = I.compute_surface_interaction(scene, ray_rep, pi, RayFlags.All)
+    si_follow = I.compute_surface_interaction(
+        scene, ray_rep, pi, RayFlags.All | RayFlags.FollowShape)
+    active = si.valid
+
+    frac_lum = emitter_samples / (emitter_samples + bsdf_samples)
+    frac_bsdf = bsdf_samples / (emitter_samples + bsdf_samples)
+
+    # directly-visible emitters / envmap (attached)
+    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    L = L + E.eval_env(scene.emitters, scene.static.emitter_kinds, d0,
+                       ~si.valid, scene.textures, scene.static.env_texture)
+
+    bsdf_flags = B.flags_of(scene.bsdfs, si.bsdf_index)
+    smooth = B.has_flag(bsdf_flags, B.BSDFFlags.Smooth) & active
+
+    # --- emitter sampling ---------------------------------------------
+    for k in range(emitter_samples):
+        sampler, s2 = smp.next_2d(sampler)
+        ds, _ = E.sample_direction(
+            scene_d.emitters, scene.static.emitter_kinds,
+            jax.lax.stop_gradient(si.p), s2,
+            scene_d.vertices, scene_d.faces, scene_d.em_faces,
+            scene_d.textures, scene.static.env_texture)
+        a_em = smooth & (ds.pdf != 0.0)
+        sh = jax.tree.map(jax.lax.stop_gradient,
+                          si.spawn_ray(ds.d)).replace(maxt=ds.dist * (1 - 1e-3))
+        occ = scene_d.ray_test(sh)
+        a_em = a_em & ~occ
+        # attached emitter weight: d = normalize(ds.p - si.p), pdf detached
+        # (reference :160-165 "Re-compute attached weight_em")
+        d_att = m.normalize(ds.p - si.p)
+        val_em = E.eval_hit(scene.emitters, ds.emitter_index,
+                            m.dot(-d_att, ds.n))
+        em_weight = jnp.where(
+            (ds.pdf > 0.0)[..., None],
+            val_em / jax.lax.stop_gradient(jnp.maximum(ds.pdf, 1e-20))[..., None],
+            0.0)
+        # reparameterized shadow ray from the FollowShape receiver
+        ray_em = Ray.make(si_follow.p,
+                          m.normalize(jax.lax.stop_gradient(ds.p)
+                                      - si_follow.p))
+        d_em, det_em = rp(13 + 4 * k, ray_em, a_em)
+        wo = si.to_local(d_em)
+        val_b, pdf_b = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
+                                  si.bsdf_index, si.wi, wo, a_em,
+                                  uv=si.uv, textures=scene.textures,
+                                  vcolor=si.vcolor)
+        w = jnp.where(ds.delta, 1.0,
+                      common.mis_weight(
+                          jax.lax.stop_gradient(ds.pdf) * frac_lum,
+                          jax.lax.stop_gradient(pdf_b) * frac_bsdf))
+        contrib = val_b * em_weight * (w * det_em / emitter_samples)[..., None]
+        L = L + jnp.where(a_em[..., None], contrib, 0.0)
+
+    # --- BSDF sampling ------------------------------------------------
+    for k in range(bsdf_samples):
+        sampler, s1 = smp.next_1d(sampler)
+        sampler, s2 = smp.next_2d(sampler)
+        # detached sample decision (reference :186-189)
+        bs, w_det, ok = B.sample(scene_d.bsdfs, scene.static.bsdf_kinds,
+                                 si.bsdf_index,
+                                 jax.lax.stop_gradient(si.wi), s1, s2, active,
+                                 uv=jax.lax.stop_gradient(si.uv),
+                                 textures=scene_d.textures,
+                                 vcolor=jax.lax.stop_gradient(si.vcolor))
+        d_world = jax.lax.stop_gradient(si.to_world(bs.wo))
+        # attached weight: bsdf_val / detach(pdf) (reference :191-195)
+        wo_att = si.to_local(d_world)
+        val_b, pdf_b = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
+                                  si.bsdf_index, si.wi, wo_att, ok,
+                                  uv=si.uv, textures=scene.textures,
+                                  vcolor=si.vcolor)
+        delta = B.has_flag(bs.sampled_type, B.BSDFFlags.Delta)
+        bsdf_weight = jnp.where(
+            (jax.lax.stop_gradient(pdf_b) > 0.0)[..., None],
+            val_b / jax.lax.stop_gradient(jnp.maximum(pdf_b, 1e-20))[..., None],
+            0.0)
+        # delta lobes: eval_pdf is zero there; keep the detached sampled
+        # weight for those lanes
+        bsdf_weight = jnp.where(delta[..., None],
+                                jax.lax.stop_gradient(w_det), bsdf_weight)
+        # reparameterized secondary ray, origin = FollowShape receiver
+        ray_b = Ray.make(si_follow.p, d_world)
+        d_b, det_b = rp(15 + 4 * k, ray_b, ok)
+        ray2 = Ray.make(si_follow.p + jax.lax.stop_gradient(
+            si.spawn_ray(d_world).o - si.p), d_b)
+        pi2 = scene_d.ray_intersect_preliminary(
+            jax.tree.map(jax.lax.stop_gradient, ray2))
+        si2 = I.compute_surface_interaction(scene, ray2, pi2, RayFlags.All)
+        le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2])
+        le = le + E.eval_env(scene.emitters, scene.static.emitter_kinds,
+                             d_b, ~si2.valid, scene.textures,
+                             scene.static.env_texture)
+        pdf_em = E.pdf_direction(
+            scene_d.emitters, scene.static.emitter_kinds,
+            jax.lax.stop_gradient(si.p), jax.lax.stop_gradient(ray2.d),
+            si2.emitter_index, jax.lax.stop_gradient(si2.p),
+            jax.lax.stop_gradient(si2.n), scene_d.vertices, scene_d.faces,
+            scene_d.em_faces, ok, scene_d.textures,
+            scene.static.env_texture)
+        w = jnp.where(delta, 1.0,
+                      common.mis_weight(
+                          jax.lax.stop_gradient(bs.pdf) * frac_bsdf,
+                          pdf_em * frac_lum))
+        L = L + jnp.where(ok[..., None],
+                          bsdf_weight * le
+                          * (w * det_b / bsdf_samples)[..., None], 0.0)
+
+    return L * det0[..., None]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render(sensor_idx, spp, emitter_samples, bsdf_samples,
+                 rp_items=()):
+    rp_cfg = dict(rp_items)
+
+    @jax.custom_vjp
+    def render_fn(scene, seed):
+        return _primal(scene, seed)
+
+    def _primal(scene, seed):
+        return D.render_direct(scene, seed=seed, sensor_idx=sensor_idx,
+                               spp=spp, emitter_samples=emitter_samples,
+                               bsdf_samples=bsdf_samples)
+
+    def fwd(scene, seed):
+        return _primal(scene, seed), (scene, seed)
+
+    def bwd(res, g_img):
+        scene, seed = res
+        sensor = scene.sensors[sensor_idx]
+        n = sensor.width * sensor.height * spp
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
+        sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+        dL = prb.film_adjoint(g_img, jax.lax.stop_gradient(pos),
+                              jax.lax.stop_gradient(weight), sensor, spp, n)
+
+        diff0, rest, treedef = prb.split_scene(scene)
+
+        def scalar_obj(diff):
+            sc = prb.merge_scene(diff, rest, treedef)
+            L = _attached_L(sc, sampler,
+                            jax.tree.map(jax.lax.stop_gradient, ray), n,
+                            jnp.asarray(seed, jnp.uint32),
+                            emitter_samples, bsdf_samples, rp_cfg)
+            return jnp.sum(L * dL)
+
+        grads = jax.grad(scalar_obj)(diff0)
+        leaves = []
+        for d, r, g in zip(diff0, rest, grads):
+            if d is not None:
+                leaves.append(g)
+            else:
+                leaves.append(np.zeros(r.shape, jax.dtypes.float0))
+        d_scene = jax.tree.unflatten(treedef, leaves)
+        return d_scene, np.zeros((), jax.dtypes.float0)
+
+    render_fn.defvjp(fwd, bwd)
+    return render_fn
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sensor_idx", "spp", "emitter_samples", "bsdf_samples", "rp_items"))
+def render_direct_reparam(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
+                          emitter_samples: int = 1, bsdf_samples: int = 1,
+                          rp_items=()):
+    fn = _make_render(sensor_idx, spp, emitter_samples, bsdf_samples,
+                      rp_items)
+    return fn(scene, jnp.asarray(seed, jnp.uint32))

@@ -103,12 +103,22 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             rr_depth=int(cfg.get("rr_depth", 5)),
             caustic=(kind == "manifold_caustic"),
         )
-    if kind in ("direct", "direct_reparam"):
+    if kind == "direct":
         from ..integrators import direct as direct_mod
         return direct_mod.render_direct(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             emitter_samples=int(cfg.get("emitter_samples", 1)),
             bsdf_samples=int(cfg.get("bsdf_samples", 1)))
+    if kind == "direct_reparam":
+        from . import direct_reparam as dr_mod
+        rp_items = tuple(sorted(
+            (k_, cfg[k_]) for k_ in ("num_rays", "kappa", "exponent")
+            if k_ in cfg))
+        return dr_mod.render_direct_reparam(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            emitter_samples=int(cfg.get("emitter_samples", 1)),
+            bsdf_samples=int(cfg.get("bsdf_samples", 1)),
+            rp_items=rp_items)
     if kind == "depth":
         from ..integrators import aov
         return aov.render_depth(scene, seed=seed, sensor_idx=sensor, spp=spp)

@@ -70,6 +70,35 @@ def test_reparam_recovers_silhouette_gradient():
     assert 0.3 * abs(fd) < abs(g_rep) < 3.0 * abs(fd), (g_rep, fd)
 
 
+@pytest.mark.slow
+def test_direct_reparam_shadow_gradient():
+    """VERDICT r1 Next #6: direct_reparam must recover the moving-shadow
+    silhouette gradient that plain `direct` misses (direct_reparam.py:217)."""
+    scene0 = _make()
+    bi = list(scene0.static.shape_names).index("blocker")
+    s, c = scene0.static.vertex_ranges[bi]
+    wx = jnp.linspace(0, 1, 24)[None, :, None]
+
+    def loss_dx(dx, kind):
+        sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
+        img = mi.render(sc, spp=16, seed=0, integrator={"type": kind})
+        return jnp.sum(img * wx)
+
+    def loss_hi(dx):
+        sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
+        img = mi.render(sc, spp=256, seed=0, integrator={"type": "direct"})
+        return float(jnp.sum(img * wx))
+
+    eps = 0.05
+    fd = (loss_hi(eps) - loss_hi(-eps)) / (2 * eps)
+    g_pl = float(jax.grad(lambda dx: loss_dx(dx, "direct"))(jnp.asarray(0.0)))
+    g_rp = float(jax.grad(lambda dx: loss_dx(dx, "direct_reparam"))(
+        jnp.asarray(0.0)))
+    assert abs(g_pl) < 0.1 * abs(fd), "plain direct should miss this"
+    assert np.sign(g_rp) == np.sign(fd)
+    assert 0.3 * abs(fd) < abs(g_rp) < 3.0 * abs(fd), (g_rp, fd)
+
+
 def test_vmf_sampling_density():
     from epsm_mitsuba3_tpu.ad.reparam import square_to_von_mises_fisher
     k = jax.random.PRNGKey(0)
