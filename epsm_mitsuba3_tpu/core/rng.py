@@ -128,14 +128,20 @@ def pcg32_next_float32(rng: PCG32):
 # Wavefront sampler seeding (sampler.cpp:115-135 ``PCG32Sampler::seed``)
 # ---------------------------------------------------------------------------
 
-def seed_wavefront(base_seed: int, seed: int, wavefront_size: int) -> PCG32:
+def seed_wavefront(base_seed: int, seed: int, wavefront_size: int,
+                   lane_offset=0) -> PCG32:
     """Per-lane decorrelated PCG32 streams, bit-exact with the reference.
 
     ``seed_value = base_seed + seed``; per-lane ``(v0, v1) =
     sample_tea_32(seed_value, lane_index)``; then ``pcg32.seed(v0, v1)``
     (initstate=v0 zero-extended, initseq=v1 zero-extended).
+
+    ``lane_offset`` shifts the lane indices: a distributed shard seeding
+    lanes [off, off+n) gets streams bitwise identical to the same lanes of
+    a single-chip wavefront (parallel/mesh.py).
     """
-    idx = jnp.arange(wavefront_size, dtype=_U32)
+    idx = jnp.arange(wavefront_size, dtype=_U32) + jnp.asarray(
+        lane_offset, _U32)
     seed_value = jnp.asarray(base_seed, _U32) + jnp.asarray(seed, _U32)
     v0, v1 = sample_tea_32(jnp.broadcast_to(seed_value, idx.shape), idx)
     zero = jnp.zeros_like(idx)

@@ -20,14 +20,26 @@ def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.stop_gradient(jnp.where(pdf_a > 0.0, jnp.nan_to_num(w), 0.0))
 
 
-def sample_rays(sensor: sns.Sensor, sampler: smp.Sampler, spp: int):
+def sample_rays(sensor: sns.Sensor, sampler: smp.Sampler, spp: int,
+                lane_offset=None):
     """Wavefront of primary rays (common.py:291-422, box/gaussian position).
 
     Returns (sampler, ray, weight, pos (N,2) film coords in pixels).
+
+    ``lane_offset``: when set, generate rays for the *global* lanes
+    [off, off+n_local) where n_local is the sampler's wavefront size —
+    the single ray-generation function shared by the single-chip and
+    distributed (parallel/mesh.py) paths, so they cannot drift.
     """
     w, h = sensor.width, sensor.height
-    n = w * h * spp
-    idx = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)
+    if lane_offset is None:
+        n = w * h * spp
+        gidx = jnp.arange(n, dtype=jnp.uint32)
+    else:
+        n = sampler.rng.state_lo.shape[0]
+        gidx = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(
+            lane_offset, jnp.uint32)
+    idx = gidx // jnp.uint32(spp)
     pos_y = (idx // jnp.uint32(w)).astype(jnp.float32)
     pos_x = (idx % jnp.uint32(w)).astype(jnp.float32)
 

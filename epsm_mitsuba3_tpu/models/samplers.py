@@ -39,10 +39,15 @@ class Sampler:
 
 
 def seed(seed_value, wavefront_size: int, base_seed: int = 0,
-         kind: str = "independent", spp: int = 1) -> Sampler:
-    idx = jnp.arange(wavefront_size, dtype=_U32)
+         kind: str = "independent", spp: int = 1, lane_offset=0) -> Sampler:
+    """``lane_offset``: global index of this wavefront's first lane — a
+    distributed shard seeding lanes [off, off+n) is bitwise identical to
+    the same slice of the single-chip wavefront."""
+    idx = jnp.arange(wavefront_size, dtype=_U32) + jnp.asarray(
+        lane_offset, _U32)
     return Sampler(
-        rng=_rng.seed_wavefront(base_seed, seed_value, wavefront_size),
+        rng=_rng.seed_wavefront(base_seed, seed_value, wavefront_size,
+                                lane_offset),
         kind=kind,
         spp=spp,
         sample_index=idx % _U32(max(spp, 1)),

@@ -37,24 +37,17 @@ def make_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _sample_rays_global(sensor, spp: int, seed, lane_offset, n_local: int):
-    """Camera rays for global lanes [lane_offset, lane_offset + n_local)."""
-    gidx = lane_offset + jnp.arange(n_local, dtype=jnp.uint32)
-    sv = jnp.asarray(seed, jnp.uint32)
-    v0, v1 = _rng.sample_tea_32(jnp.broadcast_to(sv, gidx.shape), gidx)
-    zero = jnp.zeros_like(gidx)
-    sampler = smp.Sampler(rng=_rng.pcg32_seed(zero, v0, zero, v1))
-
-    pix = gidx // jnp.uint32(spp)
-    pos_y = (pix // jnp.uint32(sensor.width)).astype(jnp.float32)
-    pos_x = (pix % jnp.uint32(sensor.width)).astype(jnp.float32)
-    sampler, jitter = smp.next_2d(sampler)
-    pos_f = jnp.stack([pos_x, pos_y], -1) + jitter
-    scale = jnp.array([1.0 / sensor.width, 1.0 / sensor.height], jnp.float32)
-    ray, weight = sns.sample_ray_differential(sensor, pos_f * scale)
-    splat_pos = (jnp.stack([pos_x, pos_y], -1)
-                 if sensor.rfilter == "box" else pos_f)
-    return sampler, ray, weight, splat_pos
+def _sample_rays_global(sensor, spp: int, seed, lane_offset, n_local: int,
+                        kind: str = "independent"):
+    """Camera rays for global lanes [lane_offset, lane_offset + n_local):
+    the ONE ray-generation path shared with single-chip rendering
+    (integrators/common.py sample_rays + models/samplers.py seed, both
+    lane-offset aware) — distributed and local renders cannot drift and
+    stay bitwise identical for every sampler kind and sensor."""
+    from ..integrators import common
+    sampler = smp.seed(seed, n_local, kind=kind, spp=spp,
+                       lane_offset=lane_offset)
+    return common.sample_rays(sensor, sampler, spp, lane_offset=lane_offset)
 
 
 @functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
@@ -78,7 +71,8 @@ def _render_dp_impl(scene, seed, sensor_idx, spp, max_depth, rr_depth,
         shard = jax.lax.axis_index("rays").astype(jnp.uint32)
         lane0 = shard * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
-            sensor, spp, seed, lane0, n_local)
+            sensor, spp, seed, lane0, n_local,
+            kind=scene.static.sampler_kind)
         L, valid = P_.sample_primal(scene, sampler, ray, max_depth, rr_depth)
         value = L * weight
         # partial film for this shard's lanes (scatter into the full image;
@@ -144,7 +138,8 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
         shard = jax.lax.axis_index("rays").astype(jnp.uint32)
         lane0 = shard * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
-            sensor, spp, seed, lane0, n_local)
+            sensor, spp, seed, lane0, n_local,
+            kind=scene.static.sampler_kind)
         L, valid = P_.sample_primal(scene, sampler, ray, max_depth, rr_depth)
         value = L * weight
         pix = (lane0 + jnp.arange(n_local, dtype=jnp.uint32)) // jnp.uint32(spp)
@@ -209,7 +204,8 @@ def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
         shard = jax.lax.axis_index("rays").astype(jnp.uint32)
         lane0 = shard * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
-            sensor, bwd_spp, seed, lane0, n_local)
+            sensor, bwd_spp, seed, lane0, n_local,
+            kind=scene.static.sampler_kind)
         g_scene = epsm_mod.backward_core(
             scene, g5, ray, sampler, lane0, s_idx, max_depth, rr_depth,
             caustic, bwd_spp, weight)
