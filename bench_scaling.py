@@ -1,0 +1,103 @@
+"""Scaling-efficiency harness (BASELINE.md north star: >=85% rays/s
+efficiency 1 chip -> 1 host -> >=2 hosts).
+
+Two legs:
+
+* **Correctness leg** (any machine): on an 8-virtual-device CPU mesh,
+  verify the distributed render is bitwise identical to single-device for
+  both the 1-D 'rays' mesh and the 2-D hosts×chips mesh.
+
+* **Perf leg**: measure rays/s of the distributed primal render at every
+  device count 1..N that divides the wavefront, and report efficiency
+  ``rate(N) / (N * rate(1))``.  On real TPU pods run this under
+  ``jax.distributed`` (parallel/mesh.py init_distributed); in this
+  environment only one real chip exists, so the perf leg runs on the
+  virtual CPU mesh — the *harness and the compiled collectives* are what
+  is being exercised; absolute CPU numbers are not TPU predictions.
+
+Prints one JSON line per device count plus a summary line.
+"""
+import json
+import os
+import sys
+import time
+
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+
+def main():
+    import jax
+    if os.environ.get("BENCH_SCALING_CPU", "1") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from scenes import cornell_box
+    import epsm_mitsuba3_tpu as mi
+    from epsm_mitsuba3_tpu.parallel import mesh as pmesh
+
+    res = int(os.environ.get("BENCH_RES", 64))
+    spp = int(os.environ.get("BENCH_SPP", 8))
+    max_depth = int(os.environ.get("BENCH_DEPTH", 4))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    scene = mi.load_dict(cornell_box(res=res, spp=spp, max_depth=max_depth))
+    devs = jax.devices()
+    n_total = res * res * spp
+    counts = [c for c in (1, 2, 4, 8, len(devs))
+              if c <= len(devs) and n_total % c == 0]
+    counts = sorted(set(counts))
+
+    # correctness: 1-dev == N-dev == hosts×chips, bitwise
+    img1 = np.asarray(pmesh.render_data_parallel(
+        scene, seed=0, spp=spp, max_depth=max_depth,
+        mesh=Mesh(np.asarray(devs[:1]), ("rays",))))
+    imgN = np.asarray(pmesh.render_data_parallel(
+        scene, seed=0, spp=spp, max_depth=max_depth,
+        mesh=Mesh(np.asarray(devs), ("rays",))))
+    bitwise = bool((img1 == imgN).all())
+    if len(devs) % 2 == 0:
+        img2d = np.asarray(pmesh.render_data_parallel(
+            scene, seed=0, spp=spp, max_depth=max_depth,
+            mesh=Mesh(np.asarray(devs).reshape(2, -1), ("hosts", "chips"))))
+        bitwise = bitwise and bool((img1 == img2d).all())
+
+    rates = {}
+    for c in counts:
+        mesh = Mesh(np.asarray(devs[:c]), ("rays",))
+        img = pmesh.render_data_parallel(scene, seed=0, spp=spp,
+                                         max_depth=max_depth, mesh=mesh)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        for r in range(reps):
+            img = pmesh.render_data_parallel(scene, seed=r + 1, spp=spp,
+                                             max_depth=max_depth, mesh=mesh)
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        rate = n_total * max_depth * 2 / dt / 1e6
+        rates[c] = rate
+        eff = rate / (c * rates[1]) if c > 1 else 1.0
+        print(json.dumps({"metric": f"scaling rays/s @{c}dev",
+                          "value": round(rate, 2), "unit": "Mrays/s",
+                          "devices": c, "efficiency": round(eff, 3)}))
+
+    cmax = counts[-1]
+    print(json.dumps({
+        "metric": "scaling efficiency",
+        "value": round(rates[cmax] / (cmax * rates[1]), 3),
+        "unit": "fraction",
+        "devices": cmax,
+        "bitwise_equal": bitwise,
+        "platform": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,63 @@ def make_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up (SURVEY.md §5 "distributed communication
+    backend"): call once per process before device use.  On TPU pods
+    ``jax.distributed.initialize()`` auto-discovers the coordinator from
+    the metadata server; elsewhere pass coordinator/num_processes/
+    process_id (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID).  Returns True if a multi-process runtime came up."""
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()   # TPU-pod auto-discovery
+        return jax.process_count() > 1
+    except (ValueError, RuntimeError):
+        return False      # single-process (already initialized / no pod)
+
+
+def make_mesh_hosts_chips(devices=None) -> Mesh:
+    """2-D ``('hosts', 'chips')`` mesh: the outer axis crosses DCN (one
+    row per host/process), the inner axis rides ICI within a host.  Lane
+    sharding splits over both axes; films/grads psum over 'chips' first
+    (fast ICI all-reduce), then 'hosts' (DCN) — XLA emits exactly that
+    hierarchical reduction for a psum over the axis tuple."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    n_hosts = max(1, jax.process_count())
+    per = len(devices) // n_hosts
+    if per * n_hosts != len(devices):      # uneven: single row fallback
+        n_hosts, per = 1, len(devices)
+    dev = np.empty((n_hosts, per), dtype=object)
+    # group by process so each row is one host's devices
+    order = sorted(devices, key=lambda d: (d.process_index, d.id))
+    for i, d in enumerate(order):
+        dev[i // per, i % per] = d
+    return Mesh(dev, ("hosts", "chips"))
+
+
+def _shard_index(mesh: Mesh):
+    """Flat row-major shard index over all mesh axes (works for the 1-D
+    'rays' mesh and the 2-D hosts×chips mesh alike)."""
+    idx = jnp.uint32(0)
+    for ax in mesh.axis_names:
+        idx = idx * jnp.uint32(mesh.shape[ax]) + jax.lax.axis_index(
+            ax).astype(jnp.uint32)
+    return idx
+
+
 def _sample_rays_global(sensor, spp: int, seed, lane_offset, n_local: int,
                         kind: str = "independent"):
     """Camera rays for global lanes [lane_offset, lane_offset + n_local):
@@ -55,6 +112,7 @@ def _sample_rays_global(sensor, spp: int, seed, lane_offset, n_local: int,
 def _render_dp_impl(scene, seed, sensor_idx, spp, max_depth, rr_depth,
                     mesh_holder):
     mesh = mesh_holder.mesh
+    _AX = tuple(mesh.axis_names)
     sensor = scene.sensors[sensor_idx]
     n_total = sensor.width * sensor.height * spp
     n_dev = mesh.devices.size
@@ -68,8 +126,7 @@ def _render_dp_impl(scene, seed, sensor_idx, spp, max_depth, rr_depth,
         out_specs=P(),                   # film psum-reduced -> replicated
     )
     def shard_render(scene, seed):
-        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
-        lane0 = shard * jnp.uint32(n_local)
+        lane0 = _shard_index(mesh) * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
             sensor, spp, seed, lane0, n_local,
             kind=scene.static.sampler_kind)
@@ -86,10 +143,10 @@ def _render_dp_impl(scene, seed, sensor_idx, spp, max_depth, rr_depth,
         else:
             data, w = films.splat(pos, value, sensor.width, sensor.height,
                                   sensor.rfilter)
-            data = jax.lax.psum(data, "rays")
-            w = jax.lax.psum(w, "rays")
+            data = jax.lax.psum(data, _AX)
+            w = jax.lax.psum(w, _AX)
             return films.develop(data, w)
-        return jax.lax.psum(img, "rays")
+        return jax.lax.psum(img, _AX)
 
     return shard_render(scene, jnp.asarray(seed, jnp.uint32))
 
@@ -101,7 +158,8 @@ class _MeshHolder:
         self.mesh = mesh
 
     def __hash__(self):
-        return hash(tuple(d.id for d in self.mesh.devices.flat))
+        return hash((tuple(d.id for d in self.mesh.devices.flat),
+                     self.mesh.devices.shape, self.mesh.axis_names))
 
     def __eq__(self, other):
         return isinstance(other, _MeshHolder) and hash(self) == hash(other)
@@ -123,6 +181,7 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
     from ..ad import prb as prb_mod
 
     mesh = mesh_holder.mesh
+    _AX = tuple(mesh.axis_names)
     sensor = scene.sensors[sensor_idx]
     n_total = sensor.width * sensor.height * spp
     n_dev = mesh.devices.size
@@ -135,8 +194,7 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
         out_specs=(P(), P()),
     )
     def step(scene, img_ref, seed):
-        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
-        lane0 = shard * jnp.uint32(n_local)
+        lane0 = _shard_index(mesh) * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
             sensor, spp, seed, lane0, n_local,
             kind=scene.static.sampler_kind)
@@ -146,7 +204,7 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
         flat = jnp.zeros((sensor.width * sensor.height, 3), value.dtype)
         flat = flat.at[pix].add(value / spp)
         img = jax.lax.psum(
-            flat.reshape(sensor.height, sensor.width, 3), "rays")
+            flat.reshape(sensor.height, sensor.width, 3), _AX)
 
         # L2 image loss + adjoint radiance for this shard's lanes
         diff = img - img_ref
@@ -158,7 +216,7 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
             scene, sampler, ray, dL, L, max_depth, rr_depth)
         diff0, rest, treedef = prb_mod.split_scene(scene)
         leaves = [
-            jax.lax.psum(g, "rays") if g is not None else r
+            jax.lax.psum(g, _AX) if g is not None else r
             for g, r in zip(grads_list, rest)
         ]
         g_scene = jax.tree.unflatten(treedef, leaves)
@@ -188,6 +246,7 @@ def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
     from ..integrators import epsm as epsm_mod
 
     mesh = mesh_holder.mesh
+    _AX = tuple(mesh.axis_names)
     s_idx = len(scene.sensors) - 1
     sensor = scene.sensors[s_idx]
     n_total = sensor.width * sensor.height * bwd_spp
@@ -201,8 +260,7 @@ def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
         out_specs=P(),
     )
     def step(scene, g5, seed):
-        shard = jax.lax.axis_index("rays").astype(jnp.uint32)
-        lane0 = shard * jnp.uint32(n_local)
+        lane0 = _shard_index(mesh) * jnp.uint32(n_local)
         sampler, ray, weight, pos = _sample_rays_global(
             sensor, bwd_spp, seed, lane0, n_local,
             kind=scene.static.sampler_kind)
@@ -211,7 +269,7 @@ def _manifold_step_impl(scene, g5, seed, max_depth, rr_depth, caustic,
             caustic, bwd_spp, weight)
         # parameter cotangents reduce over the ray shards (ICI psum)
         return jax.tree.map(
-            lambda g: jax.lax.psum(g, "rays")
+            lambda g: jax.lax.psum(g, _AX)
             if hasattr(g, "dtype") and jnp.issubdtype(g.dtype, jnp.floating)
             else g,
             g_scene)
