@@ -159,4 +159,16 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         return ptracer.render_ptracer(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             max_depth=int(cfg.get("max_depth", 6)))
+    if kind in ("spectral", "spectral_mono", "spectral_spec"):
+        # the spectral/mono variant axis (mitsuba.conf *_spectral/_mono):
+        # hero-wavelength transport developed to rgb / luminance / specfilm
+        from ..integrators import spectral as spec_mod
+        mode = {"spectral": "rgb", "spectral_mono": "mono",
+                "spectral_spec": "spec"}[kind]
+        return spec_mod.render_spectral(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)),
+            k=int(cfg.get("wavelengths", 4)), mode=mode,
+            n_bins=int(cfg.get("n_bins", 16)))
     raise ValueError(f"unknown integrator '{kind}'")
