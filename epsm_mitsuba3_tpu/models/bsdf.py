@@ -144,6 +144,7 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "blend_a": jnp.zeros((n,), jnp.int32),
         "blend_b": jnp.zeros((n,), jnp.int32),
         "blend_weight": jnp.full((n,), 0.5, f),
+        "blend_weight_tex": jnp.full((n,), -1, jnp.int32),  # textured weight/opacity
         # --- normal/bump map texture (-1 = none) ---
         "normal_tex": jnp.full((n,), -1, jnp.int32),
     }
@@ -720,6 +721,13 @@ def _apply_textures(p, uv, textures, vcolor=None):
     p["reflectance"] = refl
     p["diffuse_reflectance"] = tex_mod.eval_select(
         textures, p["reflectance_tex"], uv, p["diffuse_reflectance"])
+    # textured blend weight / mask opacity (mask.cpp, blendbsdf.cpp):
+    # mono weight = mean of the texture's RGB at the hit uv
+    w3 = tex_mod.eval_select(
+        textures, p["blend_weight_tex"], uv,
+        jnp.broadcast_to(p["blend_weight"][..., None],
+                         p["blend_weight"].shape + (3,)))
+    p["blend_weight"] = jnp.mean(w3, axis=-1)
     return p
 
 

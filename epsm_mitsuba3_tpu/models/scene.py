@@ -245,6 +245,22 @@ class _Builder:
     def add_bsdf(self, d: dict, name: str) -> int:
         if d.get("type") == "ref":
             return self.bsdf_by_id[d["id"]]
+        if d.get("type") == "mask":
+            # opacity handling (src/bsdfs/mask.cpp): with probability
+            # (1 - opacity) the surface is a null pass-through, else the
+            # nested BSDF — exactly a blendbsdf(null, nested, w=opacity);
+            # lobe-selection probability cancels against the lobe scale so
+            # the stochastic pass-through estimator is unbiased.
+            nested = next(
+                (v for k, v in d.items() if isinstance(v, dict)
+                 and k != "opacity"
+                 and v.get("type") not in ("bitmap", "checkerboard",
+                                           "mesh_attribute")), None)
+            if nested is None:
+                raise ValueError("mask bsdf without nested material")
+            d = {"type": "blendbsdf", "weight": d.get("opacity", 0.5),
+                 "a": {"type": "null"}, "b": nested,
+                 **({"id": d["id"]} if "id" in d else {})}
         # bump/normal map wrappers record the perturbation texture before
         # unwrapping (src/bsdfs/{bumpmap,normalmap}.cpp)
         normal_tex = -1
@@ -293,6 +309,8 @@ class _Builder:
             "blend_b": blend_b,
             "blend_weight": float(p.get("weight", 0.5))
             if not isinstance(p.get("weight"), dict) else 0.5,
+            "blend_weight_tex": self.add_texture(p["weight"])
+            if isinstance(p.get("weight"), dict) else -1,
             "normal_tex": normal_tex,
             "kind": kind,
             "flags": bsdf_mod.KIND_FLAGS[kind]
