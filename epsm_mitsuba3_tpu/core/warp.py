@@ -7,6 +7,7 @@ bit-exact PCG32 sampler (core/rng.py), sample positions agree with mitsuba.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import math as m
@@ -103,6 +104,142 @@ def square_to_ggx(sample: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
     return jnp.stack(
         [sin_theta * cos_phi, sin_theta * sin_phi, cos_theta], axis=-1
     )
+
+
+def square_to_beckmann(sample: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
+    """Classic Beckmann micro-normal sampling (microfacet.h, Beckmann
+    branch with sample_visible=false): tan^2 θ = -α² ln(1 - u)."""
+    phi = 2.0 * _PI * sample[..., 0]
+    cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
+    # anisotropic: interpolate α along φ (microfacet.h:270-293)
+    inv_a2 = (cos_phi / alpha_u) ** 2 + (sin_phi / alpha_v) ** 2
+    tan_theta2 = -jnp.log(jnp.maximum(1.0 - sample[..., 1], 1e-20)) / inv_a2
+    cos_theta = 1.0 / jnp.sqrt(1.0 + tan_theta2)
+    sin_theta = m.safe_sqrt(1.0 - cos_theta * cos_theta)
+    return jnp.stack(
+        [sin_theta * cos_phi, sin_theta * sin_phi, cos_theta], axis=-1)
+
+
+def beckmann_ndf(mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
+    """Beckmann distribution D(m) (microfacet.h ``eval``)."""
+    cos2 = mvec[..., 2] ** 2
+    e = ((mvec[..., 0] / alpha_u) ** 2 + (mvec[..., 1] / alpha_v) ** 2) \
+        / jnp.maximum(cos2, 1e-20)
+    result = jnp.exp(-e) / (
+        _PI * alpha_u * alpha_v * jnp.maximum(cos2 * cos2, 1e-20))
+    return jnp.where(mvec[..., 2] > 0.0, result, 0.0)
+
+
+def beckmann_smith_g1(v: jnp.ndarray, mvec: jnp.ndarray,
+                      alpha_u, alpha_v) -> jnp.ndarray:
+    """Smith G1 for Beckmann via Walter's rational approximation
+    (microfacet.h ``smith_g1``, Beckmann branch)."""
+    xy_alpha_2 = (alpha_u * v[..., 0]) ** 2 + (alpha_v * v[..., 1]) ** 2
+    tan_theta_alpha = jnp.sqrt(
+        xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-20))
+    a = 1.0 / jnp.maximum(tan_theta_alpha, 1e-20)
+    result = jnp.where(
+        a >= 1.6, 1.0,
+        (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a))
+    result = jnp.where(xy_alpha_2 == 0.0, 1.0, result)
+    result = jnp.where(m.dot(v, mvec) * v[..., 2] <= 0.0, 0.0, result)
+    return result
+
+
+def beckmann_pdf(mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
+    """pdf of classic Beckmann sampling: D(m) cos θ_m."""
+    return beckmann_ndf(mvec, alpha_u, alpha_v) * jnp.maximum(
+        mvec[..., 2], 0.0)
+
+
+def _beckmann_sample_visible_11(cos_theta_i, u1, u2):
+    """Visible-slope sampling for the Beckmann distribution at unit
+    roughness (Heitz & d'Eon 2014; microfacet.h ``sample_visible_11``,
+    Beckmann branch).  Newton-bisection inversion of the erf-domain CDF,
+    fixed 10 iterations (jit-friendly, no early exit)."""
+    from jax.scipy.special import erf, erfinv
+    SQRT_PI_INV = 0.5641895835477563
+
+    cos_i = jnp.clip(cos_theta_i, -1.0, 1.0)
+    sin_i = m.safe_sqrt(1.0 - cos_i * cos_i)
+    tan_i = sin_i / jnp.maximum(cos_i, 1e-6)
+    cot_i = 1.0 / jnp.maximum(tan_i, 1e-6)
+
+    c = erf(cot_i)
+    sample_x = jnp.maximum(u1, 1e-6)
+    theta_i = jnp.arccos(jnp.clip(cos_i, -1.0, 1.0))
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    b0 = c - (1.0 + c) * jnp.power(1.0 - sample_x, fit)
+    norm = 1.0 / (1.0 + c + SQRT_PI_INV * tan_i
+                  * jnp.exp(-cot_i * cot_i))
+
+    def newton(carry, _):
+        a, b, cc = carry
+        b = jnp.where((b >= a) & (b <= cc), b, 0.5 * (a + cc))
+        inv_erf = erfinv(jnp.clip(b, -0.9999, 0.9999))
+        value = norm * (1.0 + b + SQRT_PI_INV * tan_i
+                        * jnp.exp(-inv_erf * inv_erf)) - sample_x
+        derivative = norm * (1.0 - inv_erf * tan_i)
+        cc = jnp.where(value > 0.0, b, cc)
+        a = jnp.where(value > 0.0, a, b)
+        b = b - value / jnp.where(jnp.abs(derivative) > 1e-12, derivative,
+                                  jnp.sign(derivative) * 1e-12 + 1e-12)
+        return (a, b, cc), None
+
+    a0 = jnp.full_like(b0, -1.0)
+    (a_, b_, c_), _ = jax.lax.scan(newton, (a0, b0, c), None, length=10)
+    b_ = jnp.clip(b_, a_, c_)
+    slope_x = erfinv(jnp.clip(b_, -0.9999, 0.9999))
+    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                              -0.9999, 0.9999))
+
+    # normal-incidence special case: slopes are gaussian
+    r = jnp.sqrt(-jnp.log(jnp.maximum(1.0 - u1, 1e-20)))
+    phi = 2.0 * _PI * u2
+    near_normal = cos_i > 0.9999
+    slope_x = jnp.where(near_normal, r * jnp.cos(phi), slope_x)
+    slope_y = jnp.where(near_normal, r * jnp.sin(phi), slope_y)
+    return slope_x, slope_y
+
+
+def beckmann_visible_normal_sample(wi: jnp.ndarray, sample: jnp.ndarray,
+                                   alpha_u, alpha_v) -> jnp.ndarray:
+    """Visible-normal sampling for Beckmann (microfacet.h ``sample``,
+    sample_visible=true): stretch, slope-space sample, rotate, unstretch."""
+    alpha = jnp.stack([jnp.broadcast_to(alpha_u, wi.shape[:-1]),
+                       jnp.broadcast_to(alpha_v, wi.shape[:-1])], axis=-1)
+    wi_p = m.normalize(
+        jnp.concatenate([wi[..., :2] * alpha, wi[..., 2:3]], axis=-1))
+    flip = wi_p[..., 2] < 0.0
+    wi_p = jnp.where(flip[..., None], -wi_p, wi_p)
+
+    sin2 = wi_p[..., 0] ** 2 + wi_p[..., 1] ** 2
+    inv_len = m.safe_rsqrt(jnp.maximum(sin2, 1e-20))
+    cos_phi = jnp.where(sin2 > 1e-14, wi_p[..., 0] * inv_len,
+                        jnp.ones_like(sin2))
+    sin_phi = jnp.where(sin2 > 1e-14, wi_p[..., 1] * inv_len,
+                        jnp.zeros_like(sin2))
+
+    sx, sy = _beckmann_sample_visible_11(
+        wi_p[..., 2], sample[..., 0], sample[..., 1])
+    # rotate by phi and unstretch
+    rx = cos_phi * sx - sin_phi * sy
+    ry = sin_phi * sx + cos_phi * sy
+    rx = rx * alpha[..., 0]
+    ry = ry * alpha[..., 1]
+    mvec = m.normalize(jnp.stack(
+        [-rx, -ry, jnp.ones_like(rx)], axis=-1))
+    return mvec
+
+
+def beckmann_pdf_visible(wi: jnp.ndarray, mvec: jnp.ndarray,
+                         alpha_u, alpha_v) -> jnp.ndarray:
+    """pdf of Beckmann visible-normal sampling:
+    G1(wi) |wi.m| D(m) / |cos θ_i|."""
+    d = beckmann_ndf(mvec, alpha_u, alpha_v)
+    g1 = beckmann_smith_g1(wi, mvec, alpha_u, alpha_v)
+    return d * g1 * jnp.abs(m.dot(wi, mvec)) / jnp.maximum(
+        jnp.abs(wi[..., 2]), 1e-20)
 
 
 def ggx_visible_normal_sample(wi: jnp.ndarray, sample: jnp.ndarray,

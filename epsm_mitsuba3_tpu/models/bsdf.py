@@ -66,6 +66,10 @@ KIND_PRINCIPLED = 9
 KIND_BLEND = 10
 KIND_PPLASTIC = 11
 
+#: static sentinel appended to a scene's bsdf_kinds when any slot selects
+#: the Beckmann microfacet distribution — gates tracing of that branch
+KIND_SENTINEL_BECKMANN = 99
+
 KIND_NAMES = {
     "diffuse": KIND_DIFFUSE,
     "conductor": KIND_CONDUCTOR,
@@ -147,7 +151,52 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "blend_weight_tex": jnp.full((n,), -1, jnp.int32),  # textured weight/opacity
         # --- normal/bump map texture (-1 = none) ---
         "normal_tex": jnp.full((n,), -1, jnp.int32),
+        # --- microfacet distribution: False=GGX, True=Beckmann ---
+        "beckmann": jnp.zeros((n,), jnp.bool_),
     }
+
+
+# ---------------------------------------------------------------------------
+# microfacet distribution dispatch (microfacet.h GGX/Beckmann axis).
+# ``p["_beckmann"]`` is a *static* bool injected by sample()/eval_pdf() from
+# the scene's kind set: the Beckmann branch is only traced when some slot
+# uses it, keeping the GGX-only hot path unchanged.
+# ---------------------------------------------------------------------------
+
+def _mf_normal_sample(p, wi, s2):
+    alpha = p["alpha"]
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    if p.get("_beckmann", False):
+        mb = warp.beckmann_visible_normal_sample(wi, s2, alpha, alpha)
+        mvec = jnp.where(p["beckmann"][..., None], mb, mvec)
+    return mvec
+
+
+def _mf_pdf_visible(p, wi, mvec):
+    alpha = p["alpha"]
+    pdf = warp.ggx_pdf_visible(wi, mvec, alpha, alpha)
+    if p.get("_beckmann", False):
+        pb = warp.beckmann_pdf_visible(wi, mvec, alpha, alpha)
+        pdf = jnp.where(p["beckmann"], pb, pdf)
+    return pdf
+
+
+def _mf_ndf(p, mvec):
+    alpha = p["alpha"]
+    d = warp.ggx_ndf(mvec, alpha, alpha)
+    if p.get("_beckmann", False):
+        db = warp.beckmann_ndf(mvec, alpha, alpha)
+        d = jnp.where(p["beckmann"], db, d)
+    return d
+
+
+def _mf_g1(p, v, mvec):
+    alpha = p["alpha"]
+    g = warp.ggx_smith_g1(v, mvec, alpha, alpha)
+    if p.get("_beckmann", False):
+        gb = warp.beckmann_smith_g1(v, mvec, alpha, alpha)
+        g = jnp.where(p["beckmann"], gb, g)
+    return g
 
 
 def gather_params(table: Dict[str, jnp.ndarray], idx: jnp.ndarray):
@@ -234,14 +283,13 @@ def _conductor_eval_pdf(p, wi, wo):
 def _roughconductor_sample(p, wi, s1, s2):
     """GGX visible-normal sampling (roughconductor.cpp:231-270, incl. bs.hf=m)."""
     cos_i = wi[..., 2]
-    alpha = p["alpha"]
-    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    mvec = _mf_normal_sample(p, wi, s2)
     wo = m.reflect_m(wi, mvec)
-    pdf_m = warp.ggx_pdf_visible(wi, mvec, alpha, alpha)
+    pdf_m = _mf_pdf_visible(p, wi, mvec)
     pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
     f = m.fresnel_conductor(m.dot(wi, mvec)[..., None], p["eta_c"], p["k_c"])
     # weight for visible-normal sampling: F * G2/G1 -> here smith_g1(wo, m)
-    g1_o = warp.ggx_smith_g1(wo, mvec, alpha, alpha)
+    g1_o = _mf_g1(p, wo, mvec)
     weight = p["specular_reflectance"] * f * g1_o[..., None]
     bs = BSDFSample(
         wo=wo,
@@ -258,13 +306,12 @@ def _roughconductor_eval_pdf(p, wi, wo):
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     ok = (cos_i > 0.0) & (cos_o > 0.0)
-    alpha = p["alpha"]
     h = m.normalize(wi + wo)
-    d = warp.ggx_ndf(h, alpha, alpha)
-    g = warp.ggx_smith_g1(wi, h, alpha, alpha) * warp.ggx_smith_g1(wo, h, alpha, alpha)
+    d = _mf_ndf(p, h)
+    g = _mf_g1(p, wi, h) * _mf_g1(p, wo, h)
     f = m.fresnel_conductor(m.dot(wi, h)[..., None], p["eta_c"], p["k_c"])
     value = p["specular_reflectance"] * f * (d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
-    pdf_m = warp.ggx_pdf_visible(wi, h, alpha, alpha)
+    pdf_m = _mf_pdf_visible(p, wi, h)
     pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
     return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
 
@@ -341,9 +388,9 @@ def _roughdielectric_sample(p, wi, s1, s2):
     alpha = p["alpha"]
     # sample micro normal in the hemisphere of wi
     wi_flip = jnp.where(cos_i[..., None] >= 0.0, wi, -wi)
-    mvec = warp.ggx_visible_normal_sample(wi_flip, s2, alpha, alpha)
+    mvec = _mf_normal_sample(p, wi_flip, s2)
     mvec = jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec)
-    pdf_m = warp.ggx_pdf_visible(wi_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec), alpha, alpha)
+    pdf_m = _mf_pdf_visible(p, wi_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec))
 
     F, cos_t, eta_it, eta_ti = m.fresnel(m.dot(wi, mvec), p["eta"])
     sel_r = s1 <= F
@@ -359,7 +406,7 @@ def _roughdielectric_sample(p, wi, s1, s2):
 
     wo_flip = jnp.where(sel_r[..., None], jnp.where(cos_i[..., None] >= 0, wo, -wo),
                         jnp.where(cos_i[..., None] >= 0, -wo, wo))
-    g1_o = warp.ggx_smith_g1(wo_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec), alpha, alpha)
+    g1_o = _mf_g1(p, wo_flip, jnp.where(cos_i[..., None] >= 0.0, mvec, -mvec))
     w_r = p["specular_reflectance"]
     w_t = p["specular_transmittance"] * (eta_ti ** 2)[..., None]
     weight = jnp.where(sel_r[..., None], w_r, w_t) * g1_o[..., None]
@@ -388,13 +435,12 @@ def _roughdielectric_eval_pdf(p, wi, wo):
     # half vector (generalized)
     h = m.normalize(wi + wo * jnp.where(reflect, 1.0, eta_v)[..., None])
     h = h * jnp.sign(h[..., 2:3])  # orient to upper hemisphere
-    d = warp.ggx_ndf(h, alpha, alpha)
+    d = _mf_ndf(p, h)
     wi_flip = jnp.where(cos_i[..., None] >= 0.0, wi, -wi)
     wo_flip = jnp.where(cos_o[..., None] >= 0.0, wo, -wo)
     h_i = jnp.where(cos_i[..., None] >= 0.0, h, -h)
-    g = warp.ggx_smith_g1(wi_flip, h_i, alpha, alpha) * warp.ggx_smith_g1(
-        wo_flip, jnp.where(cos_o[..., None] >= 0.0, h, -h), alpha, alpha
-    )
+    g = _mf_g1(p, wi_flip, h_i) * _mf_g1(
+        p, wo_flip, jnp.where(cos_o[..., None] >= 0.0, h, -h))
     F, _, eta_it, eta_ti = m.fresnel(m.dot(wi, h), p["eta"])
 
     # reflection value
@@ -414,7 +460,7 @@ def _roughdielectric_eval_pdf(p, wi, wo):
         (p["specular_reflectance"] * val_r[..., None]),
         (p["specular_transmittance"] * jnp.abs(val_t)[..., None]),
     )
-    pdf_m = warp.ggx_pdf_visible(wi_flip, h_i, alpha, alpha)
+    pdf_m = _mf_pdf_visible(p, wi_flip, h_i)
     dwh_dwo = jnp.where(
         reflect,
         1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20),
@@ -477,7 +523,7 @@ def _roughplastic_sample(p, wi, s1, s2):
     F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
     prob_spec = F_i
     sel_s = s1 < prob_spec
-    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    mvec = _mf_normal_sample(p, wi, s2)
     wo_s = m.reflect_m(wi, mvec)
     wo_d = warp.square_to_cosine_hemisphere(s2)
     wo = jnp.where(sel_s[..., None], wo_s, wo_d)
@@ -505,8 +551,8 @@ def _roughplastic_eval_pdf(p, wi, wo):
     ok = (cos_i > 0.0) & (cos_o > 0.0)
     alpha = p["alpha"]
     h = m.normalize(wi + wo)
-    d = warp.ggx_ndf(h, alpha, alpha)
-    g = warp.ggx_smith_g1(wi, h, alpha, alpha) * warp.ggx_smith_g1(wo, h, alpha, alpha)
+    d = _mf_ndf(p, h)
+    g = _mf_g1(p, wi, h) * _mf_g1(p, wo, h)
     F_h, _, _, _ = m.fresnel(m.dot(wi, h), p["eta"])
     spec = p["specular_reflectance"] * (F_h * d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
     F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
@@ -517,7 +563,7 @@ def _roughplastic_eval_pdf(p, wi, wo):
         * (cos_o * (1.0 - F_i) * (1.0 - F_o))[..., None]
     )
     value = spec + diff
-    pdf_spec = warp.ggx_pdf_visible(wi, h, alpha, alpha) / jnp.maximum(
+    pdf_spec = _mf_pdf_visible(p, wi, h) / jnp.maximum(
         4.0 * jnp.abs(m.dot(wo, h)), 1e-20
     )
     pdf = F_i * pdf_spec + (1.0 - F_i) * warp.square_to_cosine_hemisphere_pdf(wo)
@@ -740,6 +786,7 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
     """
     p = gather_params(table, bsdf_idx)
     p = _apply_textures(p, uv, textures, vcolor)
+    p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
     if KIND_BLEND in kinds_present:
         # blendbsdf: pick child A/B by weight, re-scale s1
         # (src/bsdfs/blendbsdf.cpp sample)
@@ -755,10 +802,11 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
         eff_idx = jnp.where(is_blend, child, jnp.maximum(bsdf_idx, 0))
         p = gather_params(table, eff_idx)
         p = _apply_textures(p, uv, textures, vcolor)
+        p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
     wi_f, flip = _apply_twosided_in(p, wi)
     bs_out, w_out, ok_out = None, None, None
     for kind in kinds_present:
-        if kind == KIND_BLEND:
+        if kind == KIND_BLEND or kind not in _SAMPLE_FNS:
             continue
         bs, w, ok = _SAMPLE_FNS[kind](p, wi_f, s1, s2)
         is_k = p["kind"] == kind
@@ -792,6 +840,7 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
     """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
     p = gather_params(table, bsdf_idx)
     p = _apply_textures(p, uv, textures, vcolor)
+    p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
 
     def eval_table(p):
         wi_f, flip = _apply_twosided_in(p, wi)
@@ -799,7 +848,7 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
         val_out = jnp.zeros(wi.shape, wi.dtype)
         pdf_out = jnp.zeros(wi.shape[:-1], wi.dtype)
         for kind in kinds_present:
-            if kind == KIND_BLEND:
+            if kind == KIND_BLEND or kind not in _EVAL_PDF_FNS:
                 continue
             val, pdf = _EVAL_PDF_FNS[kind](p, wi_f, wo_f)
             is_k = p["kind"] == kind
@@ -815,6 +864,8 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
                              textures, vcolor)
         pb = _apply_textures(gather_params(table, p["blend_b"]), uv,
                              textures, vcolor)
+        pa["_beckmann"] = pb["_beckmann"] = \
+            KIND_SENTINEL_BECKMANN in kinds_present
         va, pfa = eval_table(pa)
         vb, pfb = eval_table(pb)
         w_ = p["blend_weight"]

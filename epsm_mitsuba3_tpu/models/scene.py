@@ -325,6 +325,11 @@ class _Builder:
             "alpha": float(p.get("alpha", p.get("roughness", 0.1)))
             if not isinstance(p.get("alpha", p.get("roughness")), dict)
             else 0.1,
+            # microfacet distribution selector (microfacet.h): scenes that
+            # say distribution="beckmann" get it; default stays GGX (the
+            # reference defaults rough plugins to beckmann — deviation
+            # documented in README, GGX is the modern default)
+            "beckmann": str(p.get("distribution", "ggx")) == "beckmann",
             "eta_c": _rgb(p.get("eta"), (0.0, 0.0, 0.0))
             if kind in (bsdf_mod.KIND_CONDUCTOR, bsdf_mod.KIND_ROUGHCONDUCTOR)
             else np.zeros(3, np.float32),
@@ -652,6 +657,10 @@ class _Builder:
             em_faces[em_idx, : len(face_ids)] = face_ids
 
         kinds_b = tuple(sorted({int(r["kind"]) for r in self.bsdf_rows}))
+        if any(r.get("beckmann", False) for r in self.bsdf_rows):
+            # static sentinel: trace the Beckmann microfacet branch
+            # (microfacet.h Beckmann distribution) only when used
+            kinds_b = kinds_b + (bsdf_mod.KIND_SENTINEL_BECKMANN,)
         kinds_e = tuple(sorted({int(r["kind"]) for r in self.em_rows})) or (
             em_mod.KIND_CONSTANT,
         )
