@@ -101,7 +101,7 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
         wo = si.to_local(d_em)
         val_b, pdf_b = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
                                   si.bsdf_index, si.wi, wo, a_em,
-                                  uv=si.uv, textures=scene.textures,
+                                  uv=si.uv, textures=scene.textures, pos=si.p,
                                   vcolor=si.vcolor)
         w = jnp.where(ds.delta, 1.0,
                       common.mis_weight(
@@ -126,7 +126,7 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
         wo_att = si.to_local(d_world)
         val_b, pdf_b = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
                                   si.bsdf_index, si.wi, wo_att, ok,
-                                  uv=si.uv, textures=scene.textures,
+                                  uv=si.uv, textures=scene.textures, pos=si.p,
                                   vcolor=si.vcolor)
         delta = B.has_flag(bs.sampled_type, B.BSDFFlags.Delta)
         bsdf_weight = jnp.where(

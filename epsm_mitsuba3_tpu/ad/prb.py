@@ -126,7 +126,7 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     wo = si.to_local(jax.lax.stop_gradient(d_att))
     bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo,
-        active_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor,
+        active_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p,
     )
     mis_em = jnp.where(
         ds.delta, 1.0,
@@ -139,7 +139,7 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     wo_ind = si.to_local(next_ray_d)
     bsdf_val, _ = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo_ind,
-        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor,
+        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p,
     )
     bsdf_val_det = jax.lax.stop_gradient(bsdf_val)
     inv_det = jnp.where(bsdf_val_det != 0.0, 1.0 / jnp.where(

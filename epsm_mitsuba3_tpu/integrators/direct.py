@@ -48,7 +48,7 @@ def sample_direct(scene, sampler, ray: Ray, emitter_samples: int = 1,
         wo = si.to_local(ds.d)
         val, pdf_b = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
                                 si.bsdf_index, si.wi, wo, a_em,
-                                uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+                                uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
         w = jnp.where(ds.delta, 1.0,
                       mis_weight(ds.pdf * frac_lum, pdf_b * frac_bsdf))
         contrib = val * em_weight * (w / emitter_samples)[..., None]
@@ -59,7 +59,7 @@ def sample_direct(scene, sampler, ray: Ray, emitter_samples: int = 1,
         sampler, s2 = smp.next_2d(sampler)
         bs, weight, ok = B.sample(scene.bsdfs, scene.static.bsdf_kinds,
                                   si.bsdf_index, si.wi, s1, s2, active,
-                                  uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+                                  uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
         ray2 = si.spawn_ray(si.to_world(bs.wo))
         si2 = scene.ray_intersect(ray2)
         le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2])

@@ -155,7 +155,7 @@ def sample_path_logged(scene, sampler, ray: Ray, max_depth: int,
         sampler, s2 = smp.next_2d(sampler)
         bs, bsdf_weight, ok = B.sample(
             scene_d.bsdfs, scene_d.static.bsdf_kinds, si.bsdf_index, si.wi,
-            s1, s2, active_next, uv=si.uv, textures=scene_d.textures, vcolor=si.vcolor,
+            s1, s2, active_next, uv=si.uv, textures=scene_d.textures, vcolor=si.vcolor, pos=si.p,
         )
 
         L = st.L + jnp.where(st.active[..., None], le + lr_dir, 0.0)

@@ -97,7 +97,7 @@ def _nee(scene, si, sampler, active_em):
     wo = si.to_local(ds.d)
     bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo,
-        active_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor,
+        active_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p,
     )
     mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
     lr_dir = mis_em[..., None] * bsdf_val_em * em_weight
@@ -133,7 +133,7 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     sampler, s2 = smp.next_2d(sampler)
     bs, bsdf_weight, ok = B.sample(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, s1, s2,
-        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor,
+        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p,
     )
 
     L = st.L + jnp.where(st.active[..., None], le + lr_dir, 0.0)

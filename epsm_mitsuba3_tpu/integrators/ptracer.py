@@ -116,7 +116,7 @@ def render_ptracer(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
         wo_local = si.to_local(d_c)
         f_val, _ = B.eval_pdf(scene.bsdfs, scene.static.bsdf_kinds,
                               si.bsdf_index, si.wi, wo_local, active,
-                              uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+                              uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
         # geometry term vertex->camera (cos at vertex inside f_val)
         contrib = beta * f_val * (
             we_c / jnp.maximum(dist_c, 1e-6) ** 2)[..., None]
@@ -127,7 +127,7 @@ def render_ptracer(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
         sampler, s2 = smp.next_2d(sampler)
         bs, bsdf_w, ok = B.sample(scene.bsdfs, scene.static.bsdf_kinds,
                                   si.bsdf_index, si.wi, s1, s2, active,
-                                  uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+                                  uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
         beta = beta * jnp.where(ok[..., None], bsdf_w, 0.0)
         nray = si.spawn_ray(si.to_world(bs.wo))
         ray_o, ray_d = nray.o, nray.d

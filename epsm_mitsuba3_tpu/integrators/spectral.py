@@ -98,7 +98,7 @@ def _bounce_spectral(scene, st: SpecState, lam, max_depth: int,
     sampler, s2 = smp.next_2d(sampler)
     bs, bsdf_weight, ok = B.sample(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, s1, s2,
-        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor,
+        active_next, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p,
     )
 
     wo_world = si.to_world(bs.wo)

@@ -244,7 +244,7 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     wo_l = si.to_local(ds.d)
     f_surf, pdf_surf = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
-        wo_l, surf_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+        wo_l, surf_em, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
     # phase API takes wi pointing BACKWARD along the incoming ray
     # (mitsuba's si.wi convention); passing +ray_d would flip g -> -g
     f_phase, pdf_phase = MED.phase_eval(ph_kind, ph_g, -st.ray_d, ds.d,
@@ -262,7 +262,7 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     bs, bsdf_w, ok_s = B.sample(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi,
         s1b, s2b, active_next & ~medium_scatter, uv=si.uv,
-        textures=scene.textures, vcolor=si.vcolor)
+        textures=scene.textures, vcolor=si.vcolor, pos=si.p)
     wo_phase, pdf_ph = MED.phase_sample(ph_kind, ph_g, -st.ray_d, s2b,
                                         s6=ph_s6)
 
@@ -420,7 +420,7 @@ def _vol_local_contrib(scene, rec: VolRecord, L_remaining):
     wo_l = si.to_local(jax.lax.stop_gradient(rec.ds_d))
     f_surf, _ = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo_l,
-        rec.a_em & ~ms, uv=si.uv, textures=scene.textures, vcolor=si.vcolor)
+        rec.a_em & ~ms, uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
     f_phase, _ = MED.phase_eval(ph_kind, ph_g,
                                 -jax.lax.stop_gradient(rec.ray_d),
                                 jax.lax.stop_gradient(rec.ds_d), s6=ph_s6)
@@ -431,7 +431,7 @@ def _vol_local_contrib(scene, rec: VolRecord, L_remaining):
     wo_ind = si.to_local(jax.lax.stop_gradient(rec.new_d))
     f_b, _ = B.eval_pdf(
         scene.bsdfs, scene.static.bsdf_kinds, si.bsdf_index, si.wi, wo_ind,
-        rec.active_next & ~ms, uv=si.uv, textures=scene.textures,
+        rec.active_next & ~ms, uv=si.uv, textures=scene.textures, pos=si.p,
         vcolor=si.vcolor)
     f_p, _ = MED.phase_eval(ph_kind, ph_g,
                             -jax.lax.stop_gradient(rec.ray_d),

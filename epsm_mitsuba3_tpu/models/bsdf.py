@@ -750,15 +750,16 @@ def _flip_z(v, flip):
     return jnp.where(flip[..., None], v * jnp.array([1.0, 1.0, -1.0]), v)
 
 
-def _apply_textures(p, uv, textures, vcolor=None):
+def _apply_textures(p, uv, textures, vcolor=None, pos=None):
     """Resolve textured parameters at the hit uv (bitmap.cpp texture eval);
-    mesh_attribute textures read the interpolated vertex color."""
+    mesh_attribute textures read the interpolated vertex color; 3D volume
+    textures sample at the world hit position ``pos``."""
     if uv is None or not textures:
         return p
     from . import textures as tex_mod
     p = dict(p)
     refl = tex_mod.eval_select(
-        textures, p["reflectance_tex"], uv, p["reflectance"])
+        textures, p["reflectance_tex"], uv, p["reflectance"], pos)
     if vcolor is not None:
         for i, tex in enumerate(textures):
             if tex.kind == "mesh_attribute":
@@ -766,26 +767,26 @@ def _apply_textures(p, uv, textures, vcolor=None):
                                  vcolor, refl)
     p["reflectance"] = refl
     p["diffuse_reflectance"] = tex_mod.eval_select(
-        textures, p["reflectance_tex"], uv, p["diffuse_reflectance"])
+        textures, p["reflectance_tex"], uv, p["diffuse_reflectance"], pos)
     # textured blend weight / mask opacity (mask.cpp, blendbsdf.cpp):
     # mono weight = mean of the texture's RGB at the hit uv
     w3 = tex_mod.eval_select(
         textures, p["blend_weight_tex"], uv,
         jnp.broadcast_to(p["blend_weight"][..., None],
-                         p["blend_weight"].shape + (3,)))
+                         p["blend_weight"].shape + (3,)), pos)
     p["blend_weight"] = jnp.mean(w3, axis=-1)
     return p
 
 
 def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
-           active=None, uv=None, textures=(), vcolor=None):
+           active=None, uv=None, textures=(), vcolor=None, pos=None):
     """Dispatch BSDF::sample over the wavefront.
 
     Returns (BSDFSample, weight (N,3), ok mask).  ``kinds_present`` is the
     static tuple of kind ids used by the scene (vcall-record analog).
     """
     p = gather_params(table, bsdf_idx)
-    p = _apply_textures(p, uv, textures, vcolor)
+    p = _apply_textures(p, uv, textures, vcolor, pos)
     p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
     if KIND_BLEND in kinds_present:
         # blendbsdf: pick child A/B by weight, re-scale s1
@@ -801,7 +802,7 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
             s1)
         eff_idx = jnp.where(is_blend, child, jnp.maximum(bsdf_idx, 0))
         p = gather_params(table, eff_idx)
-        p = _apply_textures(p, uv, textures, vcolor)
+        p = _apply_textures(p, uv, textures, vcolor, pos)
         p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
     wi_f, flip = _apply_twosided_in(p, wi)
     bs_out, w_out, ok_out = None, None, None
@@ -836,10 +837,10 @@ def _select_bs(mask, a: BSDFSample, b: BSDFSample) -> BSDFSample:
 
 
 def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
-             active=None, uv=None, textures=(), vcolor=None):
+             active=None, uv=None, textures=(), vcolor=None, pos=None):
     """Dispatch BSDF::eval_pdf over the wavefront. Returns (f*cos, pdf)."""
     p = gather_params(table, bsdf_idx)
-    p = _apply_textures(p, uv, textures, vcolor)
+    p = _apply_textures(p, uv, textures, vcolor, pos)
     p["_beckmann"] = KIND_SENTINEL_BECKMANN in kinds_present
 
     def eval_table(p):
@@ -861,9 +862,9 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
         # blend = lerp of the two children (blendbsdf.cpp eval/pdf)
         is_blend = p["kind"] == KIND_BLEND
         pa = _apply_textures(gather_params(table, p["blend_a"]), uv,
-                             textures, vcolor)
+                             textures, vcolor, pos)
         pb = _apply_textures(gather_params(table, p["blend_b"]), uv,
-                             textures, vcolor)
+                             textures, vcolor, pos)
         pa["_beckmann"] = pb["_beckmann"] = \
             KIND_SENTINEL_BECKMANN in kinds_present
         va, pfa = eval_table(pa)

@@ -218,11 +218,27 @@ class _Builder:
             img = read_image(d["filename"]).data
             tex = tex_mod.bitmap(img)
         elif t == "volume":
-            # 3D volume texture (src/textures/volume.cpp): RGB pipeline
-            # reduces it to its mean color for surface use; gridvolume
-            # media sample the grid directly
-            tex = tex_mod.checkerboard(
-                _rgb(d.get("color", 0.5)), _rgb(d.get("color", 0.5)))
+            # 3D volume texture (src/textures/volume.cpp): trilinear
+            # lookup at the world hit position.  The nested volume is a
+            # gridvolume (.vol file) or constvolume; to_world maps the
+            # unit cube onto the grid's world placement.
+            from . import volumes as vol_mod
+            vol = d.get("volume", d.get("grid"))
+            if isinstance(vol, dict) and vol.get("type") == "gridvolume":
+                g = vol_mod.load_vol(vol["filename"])
+                grid = np.asarray(g.data)
+                vol_m = _transform(vol.get("to_world"))
+            elif isinstance(vol, dict) and vol.get("type") == "constvolume":
+                grid = np.asarray(
+                    _rgb(vol.get("value", 0.5)), np.float32
+                ).reshape(1, 1, 1, 3)
+                vol_m = _transform(vol.get("to_world"))
+            else:
+                grid = np.asarray(_rgb(d.get("color", 0.5)),
+                                  np.float32).reshape(1, 1, 1, 3)
+                vol_m = np.eye(4, np.float32)
+            w2v = np.linalg.inv(_transform(d.get("to_world")) @ vol_m)
+            tex = tex_mod.volume3d(grid, w2v)
         elif t == "mesh_attribute":
             tex = tex_mod.Texture(kind="mesh_attribute",
                                   data=jnp.zeros((1, 1, 3), jnp.float32),
@@ -294,7 +310,7 @@ class _Builder:
         refl = p.get("reflectance", p.get("base_color"))
         refl_tex = -1
         if isinstance(refl, dict) and refl.get("type") in (
-                "bitmap", "checkerboard", "mesh_attribute"):
+                "bitmap", "checkerboard", "mesh_attribute", "volume"):
             refl_tex = self.add_texture(refl)
             refl = None
         row = {
