@@ -65,6 +65,7 @@ KIND_NULL = 8
 KIND_PRINCIPLED = 9
 KIND_BLEND = 10
 KIND_PPLASTIC = 11
+KIND_MEASURED = 12
 
 #: static sentinel appended to a scene's bsdf_kinds when any slot selects
 #: the Beckmann microfacet distribution — gates tracing of that branch
@@ -84,7 +85,7 @@ KIND_NAMES = {
     "principledthin": KIND_PRINCIPLED,
     "blendbsdf": KIND_BLEND,
     "pplastic": KIND_PPLASTIC,
-    "measured": KIND_ROUGHCONDUCTOR,  # tabulated BRDFs approx. by GGX fit
+    "measured": KIND_MEASURED,  # RGL tabulated BRDFs (models/measured.py)
     # polarization-only plugins: in RGB (unpolarized) mode the reference's
     # polarizer/retarder/circular reduce to attenuating pass-throughs and
     # measured_polarized to its unpolarized lobe (cf. src/bsdfs/polarizer.cpp
@@ -117,6 +118,7 @@ KIND_FLAGS = {
     | BSDFFlags.FrontSide,
     KIND_PPLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
     | BSDFFlags.FrontSide,
+    KIND_MEASURED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
 }
 
 
@@ -706,6 +708,52 @@ def _null_eval_pdf(p, wi, wo):
     return z, jnp.zeros(wi.shape[:-1], wi.dtype)
 
 
+def _measured_sample(p, wi, s1, s2):
+    """GGX visible-normal *proxy* sampling for measured BRDFs (the data
+    table is evaluated post-dispatch where textures are in scope); the
+    returned weight is a placeholder overridden by sample()."""
+    cos_i = wi[..., 2]
+    alpha = p["alpha"]
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    wo = m.reflect_m(wi, mvec)
+    pdf_m = warp.ggx_pdf_visible(wi, mvec, alpha, alpha)
+    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.GlossyReflection,
+                              jnp.uint32),
+        hf=mvec,
+    )
+    ok = (cos_i > 0.0) & (wo[..., 2] > 0.0) & (pdf > 1e-12)
+    return bs, jnp.ones(wi.shape, wi.dtype), ok
+
+
+def _measured_eval_pdf(p, wi, wo):
+    """pdf of the GGX proxy; the value is filled in post-dispatch."""
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    ok = (cos_i > 0.0) & (cos_o > 0.0)
+    alpha = p["alpha"]
+    h = m.normalize(wi + wo)
+    pdf_m = warp.ggx_pdf_visible(wi, h, alpha, alpha)
+    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+    return jnp.zeros(wi.shape, wi.dtype), jnp.where(ok, pdf, 0.0)
+
+
+def _measured_tex_eval(textures, tex_idx, wi, wo):
+    """Evaluate per-lane measured-BRDF tables (f_r, no cosine)."""
+    from . import measured as meas_mod
+    out = jnp.zeros(wi.shape, wi.dtype)
+    for i, tex in enumerate(textures):
+        if getattr(tex, "kind", "") != "measured_brdf":
+            continue
+        val = meas_mod.eval_table(tex, wi, wo)
+        out = jnp.where((tex_idx == i)[..., None], val, out)
+    return out
+
+
 _SAMPLE_FNS = {
     KIND_PRINCIPLED: _principled_sample,
     KIND_PPLASTIC: _pplastic_sample,
@@ -718,6 +766,7 @@ _SAMPLE_FNS = {
     KIND_PLASTIC: _plastic_sample,
     KIND_ROUGHPLASTIC: _roughplastic_sample,
     KIND_NULL: _null_sample,
+    KIND_MEASURED: _measured_sample,
 }
 
 _EVAL_PDF_FNS = {
@@ -732,6 +781,7 @@ _EVAL_PDF_FNS = {
     KIND_PLASTIC: _plastic_eval_pdf,
     KIND_ROUGHPLASTIC: _roughplastic_eval_pdf,
     KIND_NULL: _null_eval_pdf,
+    KIND_MEASURED: _measured_eval_pdf,
 }
 
 _TRANSMISSIVE_KINDS = (
@@ -817,6 +867,16 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
             bs_out = _select_bs(is_k, bs, bs_out)
             w_out = jnp.where(is_k[..., None], w, w_out)
             ok_out = jnp.where(is_k, ok, ok_out)
+    if KIND_MEASURED in kinds_present:
+        # measured BRDF: replace the proxy's placeholder weight with
+        # f_r(wi,wo) cosθ_o / pdf_proxy from the baked table (unbiased
+        # regardless of the GGX proxy's fit quality)
+        is_m = p["kind"] == KIND_MEASURED
+        f_val = _measured_tex_eval(textures, p["reflectance_tex"], wi_f,
+                                   bs_out.wo)
+        w_m = f_val * (jnp.maximum(bs_out.wo[..., 2:3], 0.0)
+                       / jnp.maximum(bs_out.pdf, 1e-12)[..., None])
+        w_out = jnp.where(is_m[..., None] & ok_out[..., None], w_m, w_out)
     # un-flip wo for twosided backside hits
     bs_out = bs_out.replace(wo=_flip_z(bs_out.wo, flip), hf=_flip_z(bs_out.hf, flip))
     if active is not None:
@@ -855,6 +915,12 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
             is_k = p["kind"] == kind
             val_out = jnp.where(is_k[..., None], val, val_out)
             pdf_out = jnp.where(is_k, pdf, pdf_out)
+        if KIND_MEASURED in kinds_present:
+            is_m = p["kind"] == KIND_MEASURED
+            f_val = _measured_tex_eval(textures, p["reflectance_tex"],
+                                       wi_f, wo_f)
+            val_m = f_val * jnp.maximum(wo_f[..., 2:3], 0.0)
+            val_out = jnp.where(is_m[..., None], val_m, val_out)
         return val_out, pdf_out
 
     val_out, pdf_out = eval_table(p)

@@ -295,6 +295,22 @@ class _Builder:
         kind_name, p, twosided = _parse_bsdf(d)
         kind = bsdf_mod.KIND_NAMES[kind_name]
 
+        # measured BRDF (src/bsdfs/measured.cpp): bake the RGL tensor file
+        # into a dense (θ_i, θ_o, φ_d) table + GGX proxy alpha at build
+        measured_tex, measured_alpha = -1, None
+        if kind == bsdf_mod.KIND_MEASURED:
+            from . import measured as meas_mod
+            from . import textures as tex_mod
+            table, ti_nodes, measured_alpha = meas_mod.bake(p["filename"])
+            measured_tex = len(self.textures)
+            self.textures.append(tex_mod.Texture(
+                kind="measured_brdf",
+                data=jnp.zeros((1, 1, 3), jnp.float32),
+                color0=jnp.zeros(3), color1=jnp.ones(3),
+                uv_scale=jnp.ones(2),
+                grid3d=jnp.asarray(table),
+                nodes=jnp.asarray(ti_nodes)))
+
         # blendbsdf: register both children first (blendbsdf.cpp)
         blend_a = blend_b = 0
         if kind == bsdf_mod.KIND_BLEND:
@@ -356,6 +372,9 @@ class _Builder:
                         bsdf_mod.KIND_ROUGHPLASTIC)
             else float(p.get("eta", 1.5046)) if not isinstance(p.get("eta"), (dict, list)) else 1.5046,
         }
+        if kind == bsdf_mod.KIND_MEASURED:
+            row["alpha"] = measured_alpha
+            row["reflectance_tex"] = measured_tex
         idx = len(self.bsdf_rows)
         self.bsdf_rows.append(row)
         self.bsdf_names.append(name)

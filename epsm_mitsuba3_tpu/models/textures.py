@@ -22,6 +22,9 @@ class Texture:
     uv_scale: jnp.ndarray = None    # (2,) to_uv scaling
     grid3d: jnp.ndarray = None      # (Z, Y, X, 3) volume texture grid
     w2v: jnp.ndarray = None         # (4, 4) world -> [0,1]^3 grid coords
+    #: measured-BRDF baked table axes: grid3d = (θ_i, θ_o, φ_d, 3),
+    #: nodes = the file's non-uniform θ_i grid (models/measured.py)
+    nodes: jnp.ndarray = None
 
 
 def volume3d(grid, w2v) -> Texture:
@@ -115,6 +118,8 @@ def eval_select(textures, tex_idx: jnp.ndarray, uv: jnp.ndarray,
     """Evaluate per-lane texture ``tex_idx`` (-1 -> fallback constant)."""
     out = fallback
     for i, tex in enumerate(textures):
+        if tex.kind == "measured_brdf":   # BRDF tables, not color textures
+            continue
         val = eval_one(tex, uv, pos)
         out = jnp.where((tex_idx == i)[..., None], val, out)
     return out
