@@ -57,6 +57,10 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "beam_cos": jnp.full((n,), jnp.cos(jnp.deg2rad(15.0)), f),
         "shape_index": jnp.full((n,), -1, jnp.int32),
         "texture_index": jnp.full((n,), -1, jnp.int32),  # envmap bitmap
+        # --- projector frame + field of view (src/emitters/projector.cpp) ---
+        "frame_x": jnp.tile(jnp.array([[1.0, 0.0, 0.0]], f), (n, 1)),
+        "frame_y": jnp.tile(jnp.array([[0.0, 1.0, 0.0]], f), (n, 1)),
+        "tan_fov": jnp.full((n, 2), jnp.tan(jnp.deg2rad(45.0) / 2), f),
     }
 
 
@@ -131,6 +135,8 @@ def sample_direction(
             ds, spec = _envmap_sample(
                 p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
                 total_area, env_tex)
+        elif kind == KIND_PROJECTOR:
+            ds, spec = _projector_sample(p_em, ref_p, s2, em_idx, textures)
         else:
             ds, spec = _SAMPLE_FNS[kind](
                 p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
@@ -241,6 +247,30 @@ def _spot_sample(p_em, ref_p, s2, em_idx, *_):
     return ds, spec * fall[..., None]
 
 
+def _projector_sample(p_em, ref_p, s2, em_idx, textures=()):
+    """Perspective texture projection (projector.cpp): a delta emitter at
+    ``position`` whose per-direction intensity is the irradiance texture
+    sampled through a pinhole-camera mapping of the outgoing direction."""
+    ds, spec = _point_sample(p_em, ref_p, s2, em_idx)
+    w = -ds.d                                  # projector -> receiver
+    z = m.normalize(p_em["direction"])
+    wz = m.dot(w, z)
+    wx = m.dot(w, p_em["frame_x"])
+    wy = m.dot(w, p_em["frame_y"])
+    ndc_x = wx / jnp.maximum(wz, 1e-6) / p_em["tan_fov"][..., 0]
+    ndc_y = wy / jnp.maximum(wz, 1e-6) / p_em["tan_fov"][..., 1]
+    inside = (wz > 0.0) & (jnp.abs(ndc_x) <= 1.0) & (jnp.abs(ndc_y) <= 1.0)
+    uv = jnp.stack([0.5 * (ndc_x + 1.0), 0.5 * (ndc_y + 1.0)], -1)
+    if textures:
+        from . import textures as tex_mod
+        rgb = tex_mod.eval_select(textures, p_em["texture_index"], uv,
+                                  jnp.ones(uv.shape[:-1] + (3,)))
+    else:
+        rgb = jnp.ones(uv.shape[:-1] + (3,))
+    ds = ds.replace(uv=uv)
+    return ds, jnp.where(inside[..., None], spec * rgb, 0.0)
+
+
 def _constant_sample(p_em, ref_p, s2, em_idx, *_):
     d = warp.square_to_uniform_sphere(s2)
     pdf = warp.square_to_uniform_sphere_pdf(d)
@@ -339,7 +369,7 @@ _SAMPLE_FNS = {
     KIND_CONSTANT: _constant_sample,
     KIND_ENVMAP: _envmap_sample,
     KIND_DIRECTIONAL: _directional_sample,
-    KIND_PROJECTOR: _spot_sample,
+    KIND_PROJECTOR: _spot_sample,  # overridden in sample_direction (textures)
 }
 
 

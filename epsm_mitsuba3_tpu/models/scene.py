@@ -449,12 +449,32 @@ class _Builder:
                                                          "checkerboard"):
             tex_idx = self.add_texture(rad)
             rad = None
+        # projector: irradiance texture + perspective frame from to_world
+        frame_x = to_world[:3, :3] @ np.array([1, 0, 0], np.float32)
+        frame_y = to_world[:3, :3] @ np.array([0, 1, 0], np.float32)
+        tan_fov = np.tan(np.deg2rad(float(d.get("fov", 45.0))) / 2.0)
+        tan_fov = np.asarray([tan_fov, tan_fov], np.float32)
+        intensity = _rgb(d.get("intensity"))
+        if kind == em_mod.KIND_PROJECTOR:
+            irr = d.get("irradiance")
+            if isinstance(irr, dict) and irr.get("type") in (
+                    "bitmap", "checkerboard"):
+                tex_idx = self.add_texture(irr)
+            elif irr is not None:
+                intensity = _rgb(irr)
+            intensity = intensity * float(d.get("scale", 1.0))
         row = {
             "kind": kind,
             "texture_index": tex_idx,
             "radiance": _rgb(rad) * float(d.get("scale", 1.0)),
-            "intensity": _rgb(d.get("intensity")),
-            "irradiance": _rgb(d.get("irradiance")),
+            "intensity": intensity,
+            "frame_x": frame_x,
+            "frame_y": frame_y,
+            "tan_fov": tan_fov,
+            "irradiance": _rgb(d.get("irradiance"))
+            if not isinstance(d.get("irradiance"), dict)
+            or d["irradiance"].get("type") not in ("bitmap", "checkerboard")
+            else _rgb(None),
             "position": pos,
             "direction": direction,
             "cutoff_cos": np.cos(np.deg2rad(cutoff)),
