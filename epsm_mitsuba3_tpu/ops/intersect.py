@@ -49,7 +49,7 @@ def moeller_trumbore(ray_o, ray_d, p0, p1, p2):
     qvec = jnp.cross(tvec, e1)
     v = m.dot(ray_d, qvec) * inv_det
     t = m.dot(e2, qvec) * inv_det
-    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (jnp.abs(det) > 1e-12)
+    hit = (u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6) & (jnp.abs(det) > 1e-12)
     return t, u, v, hit
 
 

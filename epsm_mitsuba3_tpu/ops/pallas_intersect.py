@@ -64,7 +64,7 @@ def _mt_kernel(tri_ref, o_ref, d_ref, maxt_ref, t_ref, idx_ref, u_ref,
         qvz = tvx * e1y - tvy * e1x
         v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
         t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        hit = ((u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6)
                & (jnp.abs(det) > 1e-12) & (t > 1e-6) & (t < maxt)
                & (t < best_t))
         best_t = jnp.where(hit, t, best_t)

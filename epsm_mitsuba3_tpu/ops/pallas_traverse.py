@@ -89,7 +89,7 @@ def _mt(ox, oy, oz, dx, dy, dz, tri):
     qz = tx * e1y - ty * e1x
     v = (dx * qx + dy * qy + dz * qz) * inv
     t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    hit = (jnp.abs(det) > 1e-12) & (u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6)
     return t, u, v, hit
 
 
