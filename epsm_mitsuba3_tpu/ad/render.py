@@ -133,10 +133,10 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
                               aovs=names,
                               max_depth=int(cfg.get("max_depth", 2)))
     if kind == "stokes":
-        from ..integrators import aov
-        return aov.render_stokes(scene, seed=seed, sensor_idx=sensor,
-                                 spp=spp,
-                                 max_depth=int(cfg.get("max_depth", 4)))
+        from ..integrators import polarized
+        return polarized.render_stokes(scene, seed=seed, sensor_idx=sensor,
+                                       spp=spp,
+                                       max_depth=int(cfg.get("max_depth", 4)))
     if kind == "moment":
         from ..integrators import aov
         return aov.render_moment(scene, seed=seed, sensor_idx=sensor,

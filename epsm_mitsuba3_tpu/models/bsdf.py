@@ -66,6 +66,12 @@ KIND_PRINCIPLED = 9
 KIND_BLEND = 10
 KIND_PPLASTIC = 11
 KIND_MEASURED = 12
+# polarization elements (src/bsdfs/{polarizer,retarder,circular}.cpp):
+# delta pass-throughs in the scalar pipeline; the polarized integrator
+# (integrators/polarized.py) applies their exact Mueller matrices.
+KIND_POLARIZER = 13
+KIND_RETARDER = 14
+KIND_CIRCULAR = 15
 
 #: static sentinel appended to a scene's bsdf_kinds when any slot selects
 #: the Beckmann microfacet distribution — gates tracing of that branch
@@ -86,13 +92,13 @@ KIND_NAMES = {
     "blendbsdf": KIND_BLEND,
     "pplastic": KIND_PPLASTIC,
     "measured": KIND_MEASURED,  # RGL tabulated BRDFs (models/measured.py)
-    # polarization-only plugins: in RGB (unpolarized) mode the reference's
-    # polarizer/retarder/circular reduce to attenuating pass-throughs and
-    # measured_polarized to its unpolarized lobe (cf. src/bsdfs/polarizer.cpp
-    # docs "in unpolarized modes acts as an attenuator")
-    "polarizer": KIND_NULL,
-    "retarder": KIND_NULL,
-    "circular": KIND_NULL,
+    "polarizer": KIND_POLARIZER,
+    "retarder": KIND_RETARDER,
+    "circular": KIND_CIRCULAR,
+    # measured_polarized: unpolarized lobe via the roughconductor proxy;
+    # the polarized integrator adds the conductor Fresnel Mueller on top
+    # (full pBRDF tensor interpolation is out of scope, cf.
+    # src/bsdfs/measured_polarized.cpp)
     "measured_polarized": KIND_ROUGHCONDUCTOR,
 }
 
@@ -119,6 +125,9 @@ KIND_FLAGS = {
     KIND_PPLASTIC: BSDFFlags.DiffuseReflection | BSDFFlags.GlossyReflection
     | BSDFFlags.FrontSide,
     KIND_MEASURED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
+    KIND_POLARIZER: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+    KIND_RETARDER: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+    KIND_CIRCULAR: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
 }
 
 
@@ -155,6 +164,11 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "normal_tex": jnp.full((n,), -1, jnp.int32),
         # --- microfacet distribution: False=GGX, True=Beckmann ---
         "beckmann": jnp.zeros((n,), jnp.bool_),
+        # --- polarization elements: rotation of the optical axis and
+        # retardance, radians (polarizer.cpp theta / retarder.cpp delta);
+        # polarizer transmittance rides in specular_transmittance ---
+        "pol_theta": jnp.zeros((n,), f),
+        "pol_delta": jnp.full((n,), jnp.pi / 2, f),
     }
 
 
@@ -708,6 +722,38 @@ def _null_eval_pdf(p, wi, wo):
     return z, jnp.zeros(wi.shape[:-1], wi.dtype)
 
 
+def _pol_passthrough(wi, weight_rgb):
+    """Shared delta pass-through for polarization elements: transmit along
+    -wi with the unpolarized-average weight (the exact Mueller matrix is
+    applied by integrators/polarized.py; in unpolarized modes the plugins
+    'act as attenuators', polarizer.cpp docs)."""
+    pdf = jnp.ones(wi.shape[:-1], wi.dtype)
+    bs = BSDFSample(
+        wo=-wi,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.Null, jnp.uint32),
+        hf=jnp.zeros_like(wi),
+    )
+    return bs, weight_rgb, jnp.ones(pdf.shape, jnp.bool_)
+
+
+def _polarizer_sample(p, wi, s1, s2):
+    # unpolarized input: <M S>_0 = transmittance/2
+    return _pol_passthrough(wi, 0.5 * p["specular_transmittance"])
+
+
+def _retarder_sample(p, wi, s1, s2):
+    # lossless element: S0 preserved for any input
+    return _pol_passthrough(
+        wi, jnp.ones(wi.shape, wi.dtype) * p["specular_transmittance"])
+
+
+def _circular_sample(p, wi, s1, s2):
+    # ideal circular polarizer passes half of unpolarized light
+    return _pol_passthrough(wi, 0.5 * p["specular_transmittance"])
+
+
 def _measured_sample(p, wi, s1, s2):
     """GGX visible-normal *proxy* sampling for measured BRDFs (the data
     table is evaluated post-dispatch where textures are in scope); the
@@ -767,6 +813,9 @@ _SAMPLE_FNS = {
     KIND_ROUGHPLASTIC: _roughplastic_sample,
     KIND_NULL: _null_sample,
     KIND_MEASURED: _measured_sample,
+    KIND_POLARIZER: _polarizer_sample,
+    KIND_RETARDER: _retarder_sample,
+    KIND_CIRCULAR: _circular_sample,
 }
 
 _EVAL_PDF_FNS = {
@@ -782,10 +831,14 @@ _EVAL_PDF_FNS = {
     KIND_ROUGHPLASTIC: _roughplastic_eval_pdf,
     KIND_NULL: _null_eval_pdf,
     KIND_MEASURED: _measured_eval_pdf,
+    KIND_POLARIZER: _null_eval_pdf,
+    KIND_RETARDER: _null_eval_pdf,
+    KIND_CIRCULAR: _null_eval_pdf,
 }
 
 _TRANSMISSIVE_KINDS = (
-    KIND_DIELECTRIC, KIND_THINDIELECTRIC, KIND_ROUGHDIELECTRIC, KIND_NULL
+    KIND_DIELECTRIC, KIND_THINDIELECTRIC, KIND_ROUGHDIELECTRIC, KIND_NULL,
+    KIND_POLARIZER, KIND_RETARDER, KIND_CIRCULAR,
 )
 
 

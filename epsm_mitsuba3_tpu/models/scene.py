@@ -352,7 +352,17 @@ class _Builder:
             "reflectance": _rgb(refl, (0.5, 0.5, 0.5)),
             "reflectance_tex": refl_tex,
             "specular_reflectance": _rgb(p.get("specular_reflectance")),
-            "specular_transmittance": _rgb(p.get("specular_transmittance")),
+            "specular_transmittance": _rgb(
+                p.get("specular_transmittance",
+                      # polarizer/retarder/circular peak transmittance
+                      # (src/bsdfs/polarizer.cpp prop "transmittance")
+                      p.get("transmittance"))),
+            # polarization element axis rotation + retardance, degrees in
+            # the scene schema (polarizer.cpp theta / retarder.cpp delta)
+            "pol_theta": float(np.deg2rad(float(p.get("theta", 0.0))))
+            if not isinstance(p.get("theta"), dict) else 0.0,
+            "pol_delta": float(np.deg2rad(float(p.get("delta", 90.0))))
+            if not isinstance(p.get("delta"), dict) else np.pi / 2,
             "diffuse_reflectance": _rgb(p.get("diffuse_reflectance"), (0.5, 0.5, 0.5)),
             "alpha": float(p.get("alpha", p.get("roughness", 0.1)))
             if not isinstance(p.get("alpha", p.get("roughness")), dict)
