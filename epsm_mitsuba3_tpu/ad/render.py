@@ -79,12 +79,19 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         return _CUSTOM_INTEGRATORS[kind](scene, seed=seed, spp=spp,
                                          sensor_idx=sensor, cfg=cfg)
     if spp_chunk and spp > spp_chunk:
+        # Kahan-compensated pass accumulation (the reference ImageBlock's
+        # m_compensate option, imageblock.cpp:119-126): keeps f32 error
+        # independent of the number of sequential passes
+        from ..models.films import kahan_add
         n_passes = -(-spp // spp_chunk)
-        acc = None
+        acc = comp = None
         for p_ in range(n_passes):
             img = render(scene, None, seed * n_passes + p_, spp_chunk,
                          sensor, integrator)
-            acc = img if acc is None else acc + img
+            if acc is None:
+                acc, comp = img, jnp.zeros_like(img)
+            else:
+                acc, comp = kahan_add(acc, comp, img)
         return acc / n_passes
     if kind in ("path", "prb", "prb_basic", "prb_reparam",
                 "emission_reparam"):

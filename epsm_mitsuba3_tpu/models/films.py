@@ -103,6 +103,22 @@ def develop(data: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     return data / w[..., None]
 
 
+def kahan_add(acc: jnp.ndarray, comp: jnp.ndarray, x: jnp.ndarray):
+    """One Kahan (compensated) summation step: returns (acc', comp').
+
+    The reference's ImageBlock offers Kahan-compensated accumulation for
+    f32 films (imageblock.cpp:119-126 ``m_compensate``).  On TPU the
+    error-prone sequence is the *sequential* pass loop (spp-chunked
+    accumulation, integrator.cpp:201-219 analog) — within one pass XLA
+    reduces pairwise, which is already well-conditioned.  Feed each pass
+    image through this to keep O(eps) error independent of pass count.
+    """
+    y = x - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
 def splat_coalesced(jitter: jnp.ndarray, values: jnp.ndarray, width: int,
                     height: int, spp: int, rfilter: str = "gaussian"):
     """Scatter-free ImageBlock::put for the canonical pixel-major lane

@@ -123,13 +123,74 @@ class Matcher:
         gx, gy = jnp.meshgrid(xs, xs, indexing="ij")
         # matcher.py:15-18 uses (pos[1], pos[0]) = (col, row) ordering
         self.pos = jnp.stack([gy, gx], -1).reshape(-1, 2)
+        # sliced-Wasserstein settings (matcher.py:21-24)
+        self.num_vectors = 50
+        self.num_principle_vectors = 3
+        self.rgb_weight = 1.0
         self._grad_fn = jax.jit(functools.partial(
             _match_impl, blur=self.blur, scaling=self.scaling))
+        self._sw_fn = jax.jit(functools.partial(
+            _sliced_wasserstein_impl, num_vectors=self.num_vectors,
+            n_pc=self.num_principle_vectors, rgb_weight=self.rgb_weight))
 
     def match_Sinkhorn(self, render_rgb, gt_rgb):
         """render_rgb/gt_rgb: (res², 3) -> grad (res², 5) — matcher.py:51-63
         (gradient scaled by res² as in :60)."""
         return self._grad_fn(render_rgb, gt_rgb, self.pos)
+
+    def match_sliced_wasserstein(self, render_rgb, gt_rgb, seed: int = 0):
+        """Sliced-Wasserstein alternative (matcher.py:76-180): project the
+        5-D point clouds onto ``num_vectors`` random directions, sort both
+        projections, L2 between the sorted sequences; the gradient routes
+        through the sort permutation.  Target colors are optionally
+        compressed to their top PCA directions first (matcher.py:91-95).
+        Returns ∂loss/∂(r,g,b,x,y) with shape (res², 5)."""
+        return self._sw_fn(render_rgb, gt_rgb, self.pos,
+                           jax.random.PRNGKey(seed))
+
+
+def _sliced_wasserstein_impl(render_rgb, gt_rgb, pos, key, num_vectors,
+                             n_pc, rgb_weight):
+    """matcher.py:76-121 re-expressed in JAX.
+
+    loss = Σ_k Σ_i (sort(P_r V)_ik − sort(P_t V)_ik)²  over random unit
+    directions V; ∂loss/∂render5 flows through the sort (a permutation —
+    each sorted slot's gradient lands on its source point).  Sorting both
+    clouds per direction is the 1-D optimal transport matching; with 50
+    directions this is the cheap O(KN log N) OT surrogate the reference
+    offers next to Sinkhorn."""
+    target5 = jnp.concatenate(
+        [jnp.clip(gt_rgb, 0.0, 1.0) * rgb_weight, pos], -1)
+    render5 = jnp.concatenate(
+        [jnp.clip(render_rgb, 0.0, 1.0) * rgb_weight, pos], -1)
+
+    if n_pc > 0:
+        # PCA of the *target* colors (torch.pca_lowrank analog): both
+        # clouds are projected with the same basis, detached
+        x = target5[:, :3]
+        xc = x - jnp.mean(x, 0)
+        _, _, vt = jnp.linalg.svd(xc, full_matrices=False)
+        V_pc = jax.lax.stop_gradient(vt[:n_pc].T)          # (3, n_pc)
+
+        def to_feature(p5):
+            return jnp.concatenate([p5[:, :3] @ V_pc, p5[:, 3:]], -1)
+    else:
+        def to_feature(p5):
+            return p5
+
+    d_feat = (n_pc if n_pc > 0 else 3) + 2
+    dirs = jax.random.uniform(key, (d_feat, num_vectors)) * 2.0 - 1.0
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=0, keepdims=True), 1e-8)
+
+    proj_t = jnp.sort(to_feature(target5) @ dirs, axis=0)
+
+    def loss(r5):
+        proj_r = jnp.sort(to_feature(r5) @ dirs, axis=0)
+        return jnp.sum((proj_r - proj_t) ** 2)
+
+    g = jax.grad(loss)(render5)
+    return g.at[:, :3].divide(rgb_weight)
 
 
 def _match_impl(render_rgb, gt_rgb, pos, blur, scaling):

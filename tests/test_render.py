@@ -110,3 +110,26 @@ def test_batch_sensor_two_views():
     assert img[16, 48, 0] > img[16, 48, 2] * 2
     # background is the white constant emitter in both halves
     assert np.allclose(img[2, 2], img[2, 34], atol=1e-3)
+
+
+def test_kahan_pass_accumulation():
+    """films.kahan_add keeps f32 accumulation error flat in the number of
+    sequential passes (ImageBlock m_compensate analog)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from epsm_mitsuba3_tpu.models.films import kahan_add
+
+    rng = np.random.default_rng(0)
+    vals = (rng.uniform(0.0, 1.0, 4096).astype(np.float32) * 1e-4
+            + np.float32(1.0))
+    exact = float(np.sum(vals.astype(np.float64)))
+
+    naive = jnp.float32(0.0)
+    acc = jnp.float32(0.0)
+    comp = jnp.float32(0.0)
+    for v in vals:
+        naive = naive + jnp.float32(v)
+        acc, comp = kahan_add(acc, comp, jnp.float32(v))
+    err_naive = abs(float(naive) - exact)
+    err_kahan = abs(float(acc) - exact)
+    assert err_kahan < err_naive * 0.2 or err_kahan < 1e-4
