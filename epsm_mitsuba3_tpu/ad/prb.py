@@ -235,15 +235,19 @@ def _pi_of(si):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
-                                             "rr_depth", "reparam"))
+                                             "rr_depth", "reparam",
+                                             "execution"))
 def render_prb(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
-               max_depth: int = 6, rr_depth: int = 5, reparam: bool = False):
-    fn = _make_render(sensor_idx, spp, max_depth, rr_depth, reparam)
+               max_depth: int = 6, rr_depth: int = 5, reparam: bool = False,
+               execution: str = "megakernel"):
+    fn = _make_render(sensor_idx, spp, max_depth, rr_depth, reparam,
+                      execution)
     return fn(scene, jnp.asarray(seed, jnp.uint32))
 
 
 @functools.lru_cache(maxsize=None)
-def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False):
+def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
+                 execution="megakernel"):
     @jax.custom_vjp
     def render_fn(scene, seed):
         return _primal(scene, seed)
@@ -253,7 +257,13 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False):
         n = sensor.width * sensor.height * spp
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
-        L, valid = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+        if execution == "megakernel":
+            L, valid = P.sample_primal(scene, sampler, ray, max_depth,
+                                       rr_depth)
+        else:   # decomposed per-bounce dispatch (LoopRecord=0 analog)
+            L, valid = P.sample_primal_wavefront(
+                scene, sampler, ray, max_depth, rr_depth,
+                sort_lanes=(execution == "wavefront"))
         return _film_fn(L, jax.lax.stop_gradient(pos),
                         jax.lax.stop_gradient(weight), sensor, spp)
 

@@ -101,6 +101,7 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)),
             reparam=kind.endswith("reparam"),
+            execution=str(cfg.get("execution", "megakernel")),
         )
     if kind in ("manifold", "manifold_caustic"):
         from ..integrators import epsm

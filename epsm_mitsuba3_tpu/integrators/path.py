@@ -212,3 +212,47 @@ def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
 
     st, _ = jax.lax.scan(body, st, None, length=max_depth)
     return st.L, st.depth > 0
+
+
+def _permute_lanes(tree, perm, n):
+    """Permute every per-lane leaf (leading dim == n); leave scalars
+    (e.g. the sampler's dimension counter) untouched."""
+    return jax.tree.map(
+        lambda x: x[perm]
+        if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n) else x,
+        tree)
+
+
+def sample_primal_wavefront(scene, sampler, ray: Ray, max_depth: int,
+                            rr_depth: int = 5, sort_lanes: bool = True):
+    """Wavefront execution of the same estimator.
+
+    The reference tests both execution strategies: Dr.Jit ``LoopRecord=1``
+    fuses the path loop into one megakernel, ``LoopRecord=0`` decomposes it
+    into per-bounce kernels (test_renders.py:52-58, test_megakernel.py:36-186;
+    SURVEY §2.6 asks to keep both and measure).  The TPU analog of the
+    decomposed mode is an *unrolled* per-bounce dispatch — XLA schedules and
+    specializes each bounce independently instead of compiling one rolled
+    ``lax.scan`` body — plus optional ray sorting between bounces: lanes are
+    reordered so active rays (grouped by direction octant) are contiguous,
+    which makes the traversal/BSDF gathers coherent.  The permutation is
+    carried in a lane-id array and inverted once at the end, so the result
+    is **bitwise identical** to the megakernel path (every per-bounce op is
+    per-lane; the sampler state is permuted along with the ray state).
+    """
+    n = ray.o.shape[0]
+    st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    scene_d = jax.lax.stop_gradient(scene)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    for it in range(max_depth):
+        st, _rec = bounce(scene_d, st, it, max_depth, rr_depth)
+        if sort_lanes and it + 1 < max_depth:
+            octant = ((st.ray_d[..., 0] >= 0).astype(jnp.int32)
+                      + ((st.ray_d[..., 1] >= 0).astype(jnp.int32) << 1)
+                      + ((st.ray_d[..., 2] >= 0).astype(jnp.int32) << 2))
+            key = jnp.where(st.active, octant, 8)  # inactive lanes last
+            perm = jnp.argsort(key, stable=True)   # stable => deterministic
+            st = _permute_lanes(st, perm, n)
+            lane = lane[perm]
+    inv = jnp.argsort(lane)
+    return st.L[inv], (st.depth > 0)[inv]
