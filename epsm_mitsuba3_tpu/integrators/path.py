@@ -88,9 +88,11 @@ def _nee(scene, si, sampler, active_em):
         scene.textures, scene.static.env_texture,
     )
     active_em = active_em & (ds.pdf != 0.0)
-    # visibility
+    # visibility; lanes with no NEE work carry zero-extent rays so the
+    # any-hit kernel skips them
     shadow_ray = si.spawn_ray(ds.d)
-    shadow_ray = shadow_ray.replace(maxt=ds.dist * (1.0 - 1e-3))
+    shadow_ray = shadow_ray.replace(
+        maxt=jnp.where(active_em, ds.dist * (1.0 - 1e-3), 0.0))
     occluded = scene.ray_test(shadow_ray)
     em_weight = jnp.where((active_em & ~occluded)[..., None], em_weight, 0.0)
 
@@ -111,7 +113,11 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     With ``attached=False`` everything is detached (primal).  The record
     dict carries what PRB/EPSM backward passes need.
     """
-    ray = Ray.make(st.ray_o, st.ray_d)
+    # dead lanes get zero-extent rays: the traversal kernels cull them per
+    # lane (t_best starts at maxt), and a fully-dead sorted packet exits
+    # after the root pop (pallas_traverse.py stale-entry cull)
+    ray = Ray.make(st.ray_o, st.ray_d,
+                   maxt=jnp.where(st.active, jnp.inf, 0.0))
     pi = scene.ray_intersect_preliminary(ray)
     pi = pi.replace(valid=pi.valid & st.active)
     si = I.compute_surface_interaction(scene, ray, pi, RayFlags.All)

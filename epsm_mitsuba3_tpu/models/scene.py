@@ -49,6 +49,8 @@ class SceneStatic:
     has_normal_maps: bool = static_field(default=False)
     #: any texture is a mesh_attribute (per-vertex color) lookup
     has_vertex_colors: bool = static_field(default=False)
+    #: shape indices that are analytic spheres (slot i of scene.sph_data)
+    analytic_sphere_shapes: Tuple[int, ...] = static_field(default=())
 
 
 @pytree_dataclass
@@ -75,13 +77,20 @@ class Scene:
     volume_grids: Tuple = ()
     #: BVH acceleration structure (None -> brute force for small scenes)
     bvh: Any = None
+    #: analytic spheres (ops/quadric.py): (S,4) [center,radius] + shape idx
+    sph_data: jnp.ndarray = None
+    sph_shape: jnp.ndarray = None
     static: SceneStatic = static_field(default=None)
 
     # -- ray queries (scene.cpp:116-142) ------------------------------------
     def ray_intersect_preliminary(self, ray: Ray):
         from ..ops import intersect as I
         from ..ops import accel
-        return accel.ray_intersect(self, ray)
+        pi = accel.ray_intersect(self, ray)
+        if self.sph_data is not None:
+            from ..ops import quadric
+            pi = quadric.merge_spheres(self, ray, pi)
+        return pi
 
     def ray_intersect(self, ray: Ray, ray_flags: int = RayFlags.All):
         from ..ops import intersect as I
@@ -90,7 +99,11 @@ class Scene:
 
     def ray_test(self, ray: Ray):
         from ..ops import accel
-        return accel.ray_test(self, ray)
+        occ = accel.ray_test(self, ray)
+        if self.sph_data is not None:
+            from ..ops import quadric
+            occ = occ | quadric.sphere_occluded(ray, self.sph_data)
+        return occ
 
     def set_vertices(self, vertices: jnp.ndarray) -> "Scene":
         """Replace the vertex buffer AND refit the BVH (if built).
@@ -191,6 +204,7 @@ class _Builder:
         self.vertices, self.normals, self.uvs, self.faces = [], [], [], []
         self.vertex_colors = []
         self.face_shape = []
+        self.sph_rows, self.sph_shape_rows = [], []
         self.shape_names, self.vertex_ranges, self.face_ranges = [], [], []
         self.shape_bsdf, self.shape_emitter = [], []
         self.bsdf_rows, self.bsdf_names = [], []
@@ -534,6 +548,22 @@ class _Builder:
         elif t == "disk":
             mesh = shapes_mod.disk()
         elif t == "sphere":
+            if bool(d.get("analytic", False)):
+                # reference-exact quadric sphere (sphere.cpp; ops/quadric.py).
+                # Kept opt-in: the tessellated default feeds the EPSM manifold
+                # constraint system, which needs triangle data (ismesh rows).
+                if any(isinstance(v_, dict)
+                       and (k_ == "emitter"
+                            or v_.get("type") in em_mod.KIND_NAMES)
+                       for k_, v_ in d.items()):
+                    # analytic sphere emitters would need cone NEE sampling;
+                    # tessellate instead (area sampling stays exact)
+                    from ..core.logger import Log, LogLevel
+                    Log(LogLevel.Warn,
+                        f"shape '{name}': analytic sphere with emitter "
+                        "child falls back to tessellation")
+                else:
+                    return self._add_analytic_sphere(d, name)
             mesh = shapes_mod.sphere(
                 radius=float(d.get("radius", 1.0)),
                 center=tuple(d.get("center", (0.0, 0.0, 0.0))),
@@ -620,6 +650,54 @@ class _Builder:
             )
         self._v_off += nv
         self._f_off += nf
+
+    def _add_analytic_sphere(self, d: dict, name: str):
+        """Register a quadric sphere (sphere.cpp analog, ops/quadric.py):
+        a shape slot with no triangle geometry plus a row in the analytic
+        side table.  ``to_world`` must be a similarity (uniform scale)."""
+        to_world = _transform(d.get("to_world"))
+        c = np.asarray(d.get("center", (0.0, 0.0, 0.0)), np.float32)
+        r = float(d.get("radius", 1.0))
+        lin = to_world[:3, :3]
+        scales = np.linalg.norm(lin, axis=0)
+        if not np.allclose(scales, scales[0], rtol=1e-4):
+            raise ValueError(
+                f"shape '{name}': analytic sphere needs a uniform-scale "
+                "to_world (non-uniform scale makes it an ellipsoid; "
+                "tessellate instead)")
+        c = lin @ c + to_world[:3, 3]
+        r = r * float(scales[0])
+
+        shape_index = len(self.shape_names)
+        bsdf_idx = -1
+        medium_idx = -1
+        from . import media as med_mod
+        for key, val in d.items():
+            if not isinstance(val, dict):
+                continue
+            vt = val.get("type")
+            if key == "interior" or vt in med_mod.MEDIUM_NAMES:
+                medium_idx = self.add_medium(val)
+            elif (vt == "ref" or key == "bsdf" or vt in bsdf_mod.KIND_NAMES
+                  or vt in ("twosided", "mask")):
+                bsdf_idx = self.add_bsdf(val, f"{name}.bsdf")
+        if bsdf_idx < 0:
+            bsdf_idx = self.default_bsdf()
+
+        self.shape_names.append(name)
+        self.vertex_ranges.append((self._v_off, 0))
+        self.face_ranges.append((self._f_off, 0))
+        self.shape_bsdf.append(bsdf_idx)
+        self.shape_emitter.append(-1)
+        self.shape_interior.append(medium_idx)
+        self.vertices.append(np.zeros((0, 3), np.float32))
+        self.normals.append(np.zeros((0, 3), np.float32))
+        self.uvs.append(np.zeros((0, 2), np.float32))
+        self.vertex_colors.append(np.zeros((0, 3), np.float32))
+        self.faces.append(np.zeros((0, 3), np.int32))
+        self.face_shape.append(np.zeros((0,), np.int32))
+        self.sph_rows.append([c[0], c[1], c[2], r])
+        self.sph_shape_rows.append(shape_index)
 
     def add_sensor(self, d: dict):
         if d.get("type") == "batch":
@@ -746,6 +824,7 @@ class _Builder:
                 r.get("normal_tex", -1) >= 0 for r in self.bsdf_rows),
             has_vertex_colors=any(
                 t.kind == "mesh_attribute" for t in self.textures),
+            analytic_sphere_shapes=tuple(self.sph_shape_rows),
         )
         from . import media as med_mod
         n_m = max(len(self.media_rows), 1)
@@ -782,6 +861,10 @@ class _Builder:
             vertex_colors=jnp.asarray(np.concatenate(self.vertex_colors)),
             volume_grids=tuple(self.volume_grids),
             bvh=bvh,
+            sph_data=(jnp.asarray(self.sph_rows, jnp.float32)
+                      if self.sph_rows else None),
+            sph_shape=(jnp.asarray(self.sph_shape_rows, jnp.int32)
+                       if self.sph_rows else None),
             static=static,
         )
 
@@ -847,8 +930,12 @@ class SceneParameters:
         ks = []
         st = self.scene.static
         for i, name in enumerate(st.shape_names):
-            ks.append(f"{name}.vertex_positions")
-            ks.append(f"{name}.vertex_normals")
+            if i in st.analytic_sphere_shapes:
+                ks.append(f"{name}.center")
+                ks.append(f"{name}.radius")
+            else:
+                ks.append(f"{name}.vertex_positions")
+                ks.append(f"{name}.vertex_normals")
             ks.append(f"{name}.bsdf.reflectance.value")
             ks.append(f"{name}.bsdf.alpha")
             if int(self.scene.shape_emitter[i]) >= 0:
@@ -876,6 +963,10 @@ class SceneParameters:
             return ("sensor", int(key[len("sensor["):key.index("]")]))
         name, _, rest = key.partition(".")
         idx = self._shape_index(name)
+        if rest in ("center", "radius"):
+            if idx not in st.analytic_sphere_shapes:
+                raise KeyError(key)
+            return ("sphere", st.analytic_sphere_shapes.index(idx), rest)
         if rest == "vertex_positions":
             return ("verts", idx)
         if rest == "vertex_normals":
@@ -907,6 +998,9 @@ class SceneParameters:
             return sc.emitters[kind[2]][e]
         if kind[0] == "sensor":
             return sc.sensors[kind[1]].to_world
+        if kind[0] == "sphere":
+            row = sc.sph_data[kind[1]]
+            return row[:3] if kind[2] == "center" else row[3]
         raise KeyError(key)
 
     def __setitem__(self, key: str, value):
@@ -946,6 +1040,15 @@ class SceneParameters:
                     to_world=jnp.asarray(value).reshape(4, 4)
                 )
                 sc = sc.replace(sensors=tuple(sensors))
+            elif kind[0] == "sphere":
+                s = kind[1]
+                if kind[2] == "center":
+                    val = jnp.asarray(value, sc.sph_data.dtype).reshape(3)
+                    sc = sc.replace(
+                        sph_data=sc.sph_data.at[s, :3].set(val))
+                else:
+                    sc = sc.replace(sph_data=sc.sph_data.at[s, 3].set(
+                        jnp.asarray(value, sc.sph_data.dtype).reshape(())))
         if verts_changed and sc.bvh is not None:
             # accel refit (params.update() analog, util.py:288-346)
             from ..ops import bvh as bvh_mod

@@ -66,6 +66,13 @@ def ray_intersect_brute(ray: Ray, vertices, faces,
     verts = jax.lax.stop_gradient(vertices)
     nf = faces.shape[0]
     n = o.shape[0]
+    if nf == 0:    # sphere-only scene: every triangle query misses
+        return PreliminaryIntersection(
+            t=jnp.full((n,), jnp.inf, o.dtype),
+            prim_uv=jnp.zeros((n, 2), o.dtype),
+            prim_index=jnp.zeros((n,), jnp.int32),
+            valid=jnp.zeros((n,), jnp.bool_),
+        )
     chunk = min(chunk, nf)  # don't pad tiny scenes up to the chunk width
     nchunks = max(1, -(-nf // chunk))
     pad = nchunks * chunk - nf
@@ -123,6 +130,8 @@ def ray_test_brute(ray: Ray, vertices, faces, chunk: int = 512) -> jnp.ndarray:
     d = jax.lax.stop_gradient(ray.d)
     verts = jax.lax.stop_gradient(vertices)
     nf = faces.shape[0]
+    if nf == 0:    # sphere-only scene
+        return jnp.zeros((o.shape[0],), jnp.bool_)
     chunk = min(chunk, nf)
     nchunks = max(1, -(-nf // chunk))
     pad = nchunks * chunk - nf
@@ -165,10 +174,33 @@ def compute_surface_interaction(
     """
     from .gather import take_rows, take_rows_int
 
-    fidx = pi.prim_index
+    nf = scene.faces.shape[0]
+    has_sph = getattr(scene, "sph_data", None) is not None
+    if has_sph:
+        # analytic-sphere lanes (ops/quadric.py): prim_index >= F encodes
+        # sphere slot; mesh gathers below run on a clamped dummy face and
+        # their results are overridden per lane
+        is_sph = pi.prim_index >= nf
+        sidx = jnp.clip(pi.prim_index - nf, 0,
+                        scene.sph_data.shape[0] - 1)
+        fidx = jnp.where(is_sph, 0, pi.prim_index)
+        if nf == 0:
+            # sphere-only scene: one degenerate dummy face keeps every
+            # mesh gather below well-formed (its results are overridden
+            # per lane — is_sph is True on all valid lanes)
+            z3 = jnp.zeros((1, 3), scene.vertices.dtype)
+            scene = scene.replace(
+                vertices=z3, normals=z3,
+                uvs=jnp.zeros((1, 2), scene.uvs.dtype),
+                faces=jnp.zeros((1, 3), jnp.int32),
+                face_shape=jnp.zeros((1,), jnp.int32),
+                vertex_colors=(None if scene.vertex_colors is None else z3),
+            )
+            nf = 1
+    else:
+        fidx = pi.prim_index
     # per-face tables gathered once (F rows, cheap) so the per-lane access
     # is a single one-hot matmul on the MXU for small scenes
-    nf = scene.faces.shape[0]
     tri = scene.vertices[scene.faces]           # (F, 3, 3), differentiable
     tri_n = take_rows(tri.reshape(nf, 9), fidx).reshape(-1, 3, 3)
     p0 = tri_n[:, 0]
@@ -245,6 +277,27 @@ def compute_surface_interaction(
             s0 * tn[:, 0:1] + t0 * tn[:, 1:2] + ns * tn[:, 2:3])
         ns = jnp.where((ntex >= 0)[:, None], ns_pert, ns)
 
+    if has_sph:
+        from . import quadric
+        sphf = quadric.sphere_surface_fields(scene, ray, pi, is_sph, sidx,
+                                             ray_flags)
+        sel = is_sph[:, None]
+        t = jnp.where(is_sph, sphf["t"], t)
+        p = jnp.where(sel, sphf["p"], p)
+        ng = jnp.where(sel, sphf["n"], ng)
+        ns = jnp.where(sel, sphf["n"], ns)
+        uv = jnp.where(sel, sphf["uv"], uv)
+        zero = jnp.zeros_like(p)
+        p0 = jnp.where(sel, zero, p0)
+        p1 = jnp.where(sel, zero, p1)
+        p2 = jnp.where(sel, zero, p2)
+        n0 = jnp.where(sel, zero, n0)
+        n1 = jnp.where(sel, zero, n1)
+        n2 = jnp.where(sel, zero, n2)
+        b0 = jnp.where(is_sph, 0.0, b0)
+        b1 = jnp.where(is_sph, 0.0, b1)
+        b2 = jnp.where(is_sph, 0.0, b2)
+
     sh_s, sh_t = m.coordinate_system(ns)
 
     # face -> (shape, bsdf, emitter) in one small-table lookup
@@ -256,6 +309,13 @@ def compute_surface_interaction(
     shape_idx = meta_n[:, 0]
     bsdf_idx = meta_n[:, 1]
     emitter_idx = meta_n[:, 2]
+    if has_sph:
+        sph_shape_idx = sphf["shape_idx"]
+        shape_idx = jnp.where(is_sph, sph_shape_idx, shape_idx)
+        bsdf_idx = jnp.where(is_sph, scene.shape_bsdf[sph_shape_idx],
+                             bsdf_idx)
+        emitter_idx = jnp.where(is_sph, scene.shape_emitter[sph_shape_idx],
+                                emitter_idx)
 
     wi_world = -ray.d
     wi = m.to_local(ns, sh_s, sh_t, wi_world)
@@ -278,7 +338,9 @@ def compute_surface_interaction(
         sh_t=sh_t,
         uv=uv,
         wi=wi,
-        prim_index=fidx,
+        # the unclamped index: sphere hits keep their F+sidx encoding so a
+        # replayed _pi_of(si) round-trips (ad/prb.py:222)
+        prim_index=pi.prim_index,
         shape_index=jnp.where(valid, shape_idx, -1),
         bsdf_index=jnp.where(valid, bsdf_idx, -1),
         emitter_index=jnp.where(valid, emitter_idx, -1),
@@ -291,7 +353,7 @@ def compute_surface_interaction(
         n0=n0,
         n1=n1,
         n2=n2,
-        ismesh=valid.astype(p.dtype),
+        ismesh=(valid & ~is_sph if has_sph else valid).astype(p.dtype),
         vcolor=vcolor,
     )
     return si

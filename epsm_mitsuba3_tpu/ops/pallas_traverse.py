@@ -421,7 +421,7 @@ def _expand_bits10(v):
     return v
 
 
-def sort_keys(o, d, bmin, bmax):
+def sort_keys(o, d, bmin, bmax, maxt=None):
     """Coherence keys: a 30-bit 6-D Morton code alternating origin and
     direction bits, coarse to fine (5 bits/axis each).
 
@@ -443,6 +443,10 @@ def sort_keys(o, d, bmin, bmax):
             key = (key << 1) | ((qo[:, a] >> b) & 1)
         for a in range(3):
             key = (key << 1) | ((qd[:, a] >> b) & 1)
+    if maxt is not None:
+        # dead lanes (zero-extent rays from terminated path state) cluster
+        # at the end: fully-dead packets exit after the root pop
+        key = jnp.where(maxt > 1e-6, key, jnp.uint32(0xFFFFFFFF))
     return key
 
 
@@ -483,7 +487,7 @@ def bvh_ray_intersect_pallas(scene, ray: Ray,
         root = scene.bvh.c4_node[0]
         bmin = jnp.min(scene.bvh.bmin[root], axis=0)
         bmax = jnp.max(scene.bvh.bmax[root], axis=0)
-        keys = sort_keys(o, dvec, bmin, bmax)
+        keys = sort_keys(o, dvec, bmin, bmax, maxt_in)
         idx = jnp.arange(n, dtype=jnp.int32)
         (_, idx_s, ox0, oy0, oz0, dx0, dy0, dz0, mt0) = jax.lax.sort(
             (keys, idx, o[:, 0], o[:, 1], o[:, 2],
@@ -522,7 +526,7 @@ def bvh_ray_test_pallas(scene, ray: Ray, sort: bool = True) -> jnp.ndarray:
         root = scene.bvh.c4_node[0]
         bmin = jnp.min(scene.bvh.bmin[root], axis=0)
         bmax = jnp.max(scene.bvh.bmax[root], axis=0)
-        keys = sort_keys(o, dvec, bmin, bmax)
+        keys = sort_keys(o, dvec, bmin, bmax, maxt_in)
         idx = jnp.arange(n, dtype=jnp.int32)
         (_, idx_s, ox0, oy0, oz0, dx0, dy0, dz0, mt0) = jax.lax.sort(
             (keys, idx, o[:, 0], o[:, 1], o[:, 2],
