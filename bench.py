@@ -54,8 +54,13 @@ def _bench_scene(scene_dict, res, spp_chunk, n_chunks, max_depth):
     dt = time.perf_counter() - t0
 
     lanes = res * res * spp_chunk
-    # fwd: closest + shadow per bounce; bwd replay: primal replay + grad
-    # replay each re-trace the same rays => 3x the forward ray count
+    # Accounting (kept identical to round 1 so vs-round numbers compare):
+    # one fwd+bwd iteration does the WORK of 3 traversal sweeps per bounce
+    # (primal, L_total replay, grad replay — the reference's 2-pass RB,
+    # common.py:574-974).  Since the record-and-replay pipeline, the
+    # backward consumes the forward's recorded trace and physically
+    # traverses the scene once; the metric is therefore a work-normalized
+    # fwd+bwd throughput, not a count of kernel-traced rays.
     rays = lanes * max_depth * 2 * 3 * n_chunks
     return rays / dt / 1e6, int(scene.faces.shape[0])
 

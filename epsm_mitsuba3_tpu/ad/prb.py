@@ -86,7 +86,8 @@ def film_adjoint(g_img, pos, weight, sensor, spp, n):
 
 def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
                    st_prev_p, st_prev_bsdf_pdf, st_prev_bsdf_delta, st_active,
-                   L_remaining, sampler_s2, max_depth, depth, rr_depth):
+                   L_remaining, sampler_s2, max_depth, depth, rr_depth,
+                   occl=None):
     """Differentiable per-bounce contribution Lo (epsm.py:566-715).
 
     All control decisions (hit prim, sampled directions, pdfs for MIS, RR)
@@ -111,8 +112,12 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
         scene.textures, scene.static.env_texture,
     )
     active_em = active_em & (ds.pdf != 0.0)
-    # visibility from primal replay is folded into em_weight_det == 0
-    occl_mask = jnp.any(em_weight_det != 0.0, axis=-1)
+    if occl is not None:
+        # recorded shadow-ray visibility from the primal pass — shadowed
+        # lanes must contribute NO attached NEE term
+        occl_mask = ~occl
+    else:
+        occl_mask = jnp.any(em_weight_det != 0.0, axis=-1)
     # attached direction: d = normalize(ds.p - si.p) with attached si.p & ds.p
     d_att = m.normalize(ds.p - si.p)
     em_val = E.eval_hit(scene.emitters, ds.emitter_index,
@@ -151,8 +156,12 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
 
 
 def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
-                 rr_depth: int, reparam_cfg=None):
+                 rr_depth: int, reparam_cfg=None, trace=None):
     """Replay loop accumulating scene-parameter cotangents.
+
+    ``trace``: per-bounce {'pi','occl'} stacked along depth from
+    ``sample_primal_recorded`` — the replay then performs no traversal
+    (None falls back to re-tracing).
 
     ``reparam_cfg``: None (detached PRB) or a dict with num_rays/kappa/
     exponent — enables per-bounce ray reparameterization (prb_reparam.py):
@@ -168,16 +177,18 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
     scene_d = jax.lax.stop_gradient(scene)
     it0 = jnp.zeros((), jnp.uint32)
 
-    def body(carry, _):
+    def body(carry, cached):
         st, grads, it = carry
-        # --- detached replay of one bounce (identical RNG consumption) ---
+        # --- detached replay of one bounce (identical RNG consumption;
+        #     traversal comes from the recorded trace when available) ---
         ray_o, ray_d = st.ray_o, st.ray_d
         prev_p, prev_pdf, prev_delta = st.prev_p, st.prev_bsdf_pdf, st.prev_bsdf_delta
         beta, active, depth = st.beta, st.active, st.depth
 
         # capture the NEE 2D sample before the bounce consumes it
         _, s2_peek = smp.next_2d(st.sampler)
-        st2, rec = P.bounce(scene_d, st, 0, max_depth, rr_depth)
+        st2, rec = P.bounce(scene_d, st, 0, max_depth, rr_depth,
+                            cached=cached)
 
         # remaining radiance AFTER subtracting this bounce's contributions
         L_remaining = st.L - rec["le"] - rec["lr_dir"]
@@ -200,7 +211,7 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
                 sc, ray_o, d_in, _pi_of(rec["si"]),
                 st2.ray_d, beta, prev_p, prev_pdf, prev_delta, active,
                 jax.lax.stop_gradient(L_remaining), s2_peek, max_depth, depth,
-                rr_depth,
+                rr_depth, occl=rec["occl"],
             )
             if det is not None:
                 lo = lo * det[..., None]
@@ -214,7 +225,7 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
         st2 = st2._replace(L=L_remaining)
         return (st2, grads, it + 1), None
 
-    (st, grads, _), _ = jax.lax.scan(body, (st, grads0, it0), None,
+    (st, grads, _), _ = jax.lax.scan(body, (st, grads0, it0), trace,
                                      length=max_depth)
     return grads
 
@@ -268,20 +279,31 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
                         jax.lax.stop_gradient(weight), sensor, spp)
 
     def fwd(scene, seed):
-        return _primal(scene, seed), (scene, seed)
+        # the forward pass records the per-bounce trace (hits + shadow
+        # visibilities) so the backward performs zero scene traversal —
+        # fwd+bwd intersects the scene exactly once (the reference
+        # re-traces twice more, common.py:574-974; traversal dominates
+        # large-scene wall time on TPU)
+        sensor = scene.sensors[sensor_idx]
+        n = sensor.width * sensor.height * spp
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
+        sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+        L, valid, trace = P.sample_primal_recorded(scene, sampler, ray,
+                                                   max_depth, rr_depth)
+        img = _film_fn(L, jax.lax.stop_gradient(pos),
+                       jax.lax.stop_gradient(weight), sensor, spp)
+        return img, (scene, seed, L, trace)
 
     def bwd(res, g_img):
-        scene, seed = res
+        scene, seed, L_total, trace = res
         sensor = scene.sensors[sensor_idx]
         n = sensor.width * sensor.height * spp
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
         dL = film_adjoint(g_img, pos, weight, sensor, spp, n)
-        # primal replay for L_total (2-pass RB, common.py:574-974)
-        L_total, _ = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
         grads = prb_backward(
             scene, sampler, ray, dL, L_total, max_depth, rr_depth,
-            reparam_cfg={} if reparam else None)
+            reparam_cfg={} if reparam else None, trace=trace)
         # assemble scene cotangent
         diff0, rest, treedef = split_scene(scene)
         leaves = []

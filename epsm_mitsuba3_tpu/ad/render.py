@@ -95,6 +95,9 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         return acc / n_passes
     if kind in ("path", "prb", "prb_basic", "prb_reparam",
                 "emission_reparam"):
+        # emission_reparam (emission_reparam.py:128) is the restriction of
+        # prb_reparam to the emission vertex; the full per-bounce reparam
+        # is a strict superset, so the name maps to reparam=True below
         from . import prb
         return prb.render_prb(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
@@ -157,6 +160,11 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)))
     if kind in ("volpath", "volpathmis"):
+        # one implementation serves both names: the repo's volpath already
+        # performs the spectral-channel MIS over free-flight distance
+        # sampling that distinguishes the reference's volpathmis.cpp from
+        # volpath.cpp (see integrators/volpath.py: pdf_scatter/pdf_surface
+        # channel averaging, volpath.cpp:210-260)
         from ..integrators import volpath
         return volpath.render_volpath(
             scene, seed=seed, sensor_idx=sensor, spp=spp,

@@ -131,8 +131,8 @@ def sample_path_logged(scene, sampler, ray: Ray, max_depth: int,
         active_next = (st.depth + 1 < max_depth) & si.valid & st.active
         active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
 
-        sampler, ds, lr_dir, active_em2 = P._nee(scene_d, si, st.sampler,
-                                                 active_em)
+        sampler, ds, lr_dir, active_em2, _occl = P._nee(
+            scene_d, si, st.sampler, active_em)
         lr_dir = st.beta * lr_dir
 
         # NEE shadow-ray hit topology (ray_direct FollowShape analog,

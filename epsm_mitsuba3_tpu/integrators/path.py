@@ -79,8 +79,11 @@ def _emitter_hit_le(scene, si, ray_d, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
     return le
 
 
-def _nee(scene, si, sampler, active_em):
-    """Emitter sampling incl. visibility (epsm.py:585-605)."""
+def _nee(scene, si, sampler, active_em, occl_cached=None):
+    """Emitter sampling incl. visibility (epsm.py:585-605).
+
+    ``occl_cached``: recorded occlusion from a prior identical-RNG pass —
+    skips the shadow-ray traversal entirely (backward replay)."""
     sampler, s2 = smp.next_2d(sampler)
     ds, em_weight = E.sample_direction(
         scene.emitters, scene.static.emitter_kinds, si.p, s2,
@@ -88,12 +91,15 @@ def _nee(scene, si, sampler, active_em):
         scene.textures, scene.static.env_texture,
     )
     active_em = active_em & (ds.pdf != 0.0)
-    # visibility; lanes with no NEE work carry zero-extent rays so the
-    # any-hit kernel skips them
-    shadow_ray = si.spawn_ray(ds.d)
-    shadow_ray = shadow_ray.replace(
-        maxt=jnp.where(active_em, ds.dist * (1.0 - 1e-3), 0.0))
-    occluded = scene.ray_test(shadow_ray)
+    if occl_cached is not None:
+        occluded = occl_cached
+    else:
+        # visibility; lanes with no NEE work carry zero-extent rays so the
+        # any-hit kernel skips them
+        shadow_ray = si.spawn_ray(ds.d)
+        shadow_ray = shadow_ray.replace(
+            maxt=jnp.where(active_em, ds.dist * (1.0 - 1e-3), 0.0))
+        occluded = scene.ray_test(shadow_ray)
     em_weight = jnp.where((active_em & ~occluded)[..., None], em_weight, 0.0)
 
     wo = si.to_local(ds.d)
@@ -103,23 +109,32 @@ def _nee(scene, si, sampler, active_em):
     )
     mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf_em))
     lr_dir = mis_em[..., None] * bsdf_val_em * em_weight
-    return sampler, ds, lr_dir, active_em
+    return sampler, ds, lr_dir, active_em, occluded
 
 
 def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
-           attached: bool = False):
+           attached: bool = False, cached: dict = None):
     """One path-tracing bounce. Returns (new_state, per-bounce record dict).
 
     With ``attached=False`` everything is detached (primal).  The record
     dict carries what PRB/EPSM backward passes need.
+
+    ``cached``: per-bounce trace records from a prior identical-RNG pass
+    ({'pi': PreliminaryIntersection, 'occl': (N,) bool}) — the bounce then
+    performs NO scene traversal at all (the backward-replay fast path;
+    traversal dominates large-scene wall time, so the fwd+bwd pipeline
+    traces the scene exactly once).
     """
     # dead lanes get zero-extent rays: the traversal kernels cull them per
     # lane (t_best starts at maxt), and a fully-dead sorted packet exits
     # after the root pop (pallas_traverse.py stale-entry cull)
     ray = Ray.make(st.ray_o, st.ray_d,
                    maxt=jnp.where(st.active, jnp.inf, 0.0))
-    pi = scene.ray_intersect_preliminary(ray)
-    pi = pi.replace(valid=pi.valid & st.active)
+    if cached is not None:
+        pi = cached["pi"]
+    else:
+        pi = scene.ray_intersect_preliminary(ray)
+        pi = pi.replace(valid=pi.valid & st.active)
     si = I.compute_surface_interaction(scene, ray, pi, RayFlags.All)
 
     le = _emitter_hit_le(
@@ -132,7 +147,9 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     active_next = (st.depth + 1 < max_depth) & si.valid & st.active
     active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
 
-    sampler, ds, lr_dir, active_em = _nee(scene, si, st.sampler, active_em)
+    sampler, ds, lr_dir, active_em, occl = _nee(
+        scene, si, st.sampler, active_em,
+        occl_cached=None if cached is None else cached["occl"])
     lr_dir = st.beta * lr_dir
 
     sampler, s1 = smp.next_1d(sampler)
@@ -186,6 +203,8 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
         "beta": st.beta,
         "bsdf_weight": bsdf_weight,
         "wo_world": wo_world,
+        "pi": pi,
+        "occl": occl,
     }
     return new_state, record
 
@@ -218,6 +237,30 @@ def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
 
     st, _ = jax.lax.scan(body, st, None, length=max_depth)
     return st.L, st.depth > 0
+
+
+def sample_primal_recorded(scene, sampler, ray: Ray, max_depth: int,
+                           rr_depth: int = 5):
+    """Primal estimate that also records the per-bounce trace results.
+
+    Returns (L, valid, trace) where ``trace`` stacks {'pi', 'occl'} along
+    a leading depth axis.  Replaying the path with this trace (``bounce``
+    ``cached=``) needs NO scene traversal — the fwd+bwd render pipeline
+    then intersects the scene exactly once (the reference instead
+    re-traces in its backward pass, common.py:574-974; on TPU the
+    traversal is the large-scene bottleneck so caching it is the winning
+    trade: ~18 B/lane/bounce of HBM).
+    """
+    n = ray.o.shape[0]
+    st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    scene_d = jax.lax.stop_gradient(scene)
+
+    def body(st, _):
+        st2, rec = bounce(scene_d, st, 0, max_depth, rr_depth)
+        return st2, {"pi": rec["pi"], "occl": rec["occl"]}
+
+    st, trace = jax.lax.scan(body, st, None, length=max_depth)
+    return st.L, st.depth > 0, trace
 
 
 def _permute_lanes(tree, perm, n):

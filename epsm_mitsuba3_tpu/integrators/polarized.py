@@ -210,7 +210,8 @@ def _pol_bounce(scene, st: PolState, max_depth: int, rr_depth: int):
     active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
 
     # NEE: polarization transfer of the light-sample direction
-    sampler, ds, lr_dir, active_em = P._nee(scene, si, st.sampler, active_em)
+    sampler, ds, lr_dir, active_em, _occl = P._nee(scene, si, st.sampler,
+                                                    active_em)
     col = stokes_column(scene, si, si.to_local(ds.d), lr_dir, active_em)
     S = S + mu.matvec(st.T, col)
 

@@ -85,7 +85,7 @@ def _bounce_spectral(scene, st: SpecState, lam, max_depth: int,
     active_next = (st.depth + 1 < max_depth) & si.valid & st.active
     active_em = active_next & B.has_flag(bsdf_flags, B.BSDFFlags.Smooth)
 
-    sampler, ds, lr_dir_rgb, active_em = P._nee(scene, si, st.sampler,
+    sampler, ds, lr_dir_rgb, active_em, _occl = P._nee(scene, si, st.sampler,
                                                 active_em)
 
     # lift the bounce's radiance contribution (emission chromaticity ×
