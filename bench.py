@@ -80,12 +80,16 @@ def main():
 
     # BVH-path workload: >=50k-triangle displaced mesh in the box — the
     # path bathroom-class scenes actually take (pallas packet traversal
-    # on TPU, XLA while-loop traversal otherwise)
+    # on TPU, XLA while-loop traversal otherwise).  Bigger spp chunks pay
+    # here: more rays per 6-D Morton cell => tighter traversal packets
+    # (27 -> 34 Mrays/s measured at chunk 4 -> 16 on v5e)
     extra = {}
     try:
+        bvh_chunk = int(os.environ.get("BENCH_SPP_CHUNK_BVH", 16))
+        bvh_chunks = max(1, spp_total // bvh_chunk // 4)
         bvh_mrays, n_tris = _bench_scene(
-            cornell_box_mesh(res=res, spp=spp_chunk, max_depth=max_depth),
-            res, spp_chunk, max(1, n_chunks // 4), max_depth)
+            cornell_box_mesh(res=res, spp=bvh_chunk, max_depth=max_depth),
+            res, bvh_chunk, bvh_chunks, max_depth)
         extra = {"bvh_scene_mrays": round(bvh_mrays, 2),
                  "bvh_scene_tris": n_tris}
     except Exception as e:    # never lose the primary metric

@@ -125,6 +125,10 @@ class Scene:
 # Dict loader (mi.load_dict analog)
 # ===========================================================================
 
+#: supported shape plugins (src/shapes/).  ``blender`` (blender.cpp) is
+#: deliberately absent: it reads live Blender-process RNA pointers passed
+#: through Properties — meaningless outside a Blender embed; export such
+#: meshes to .ply/.obj or pass raw arrays via the ``mesh`` type instead.
 _MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
                "sphere", "cylinder", "instance", "shapegroup", "mesh")
 
