@@ -226,7 +226,7 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
         return (st2, grads, it + 1), None
 
     (st, grads, _), _ = jax.lax.scan(body, (st, grads0, it0), trace,
-                                     length=max_depth)
+                                     length=max_depth, unroll=True)
     return grads
 
 

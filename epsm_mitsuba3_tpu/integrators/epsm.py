@@ -210,7 +210,7 @@ def sample_path_logged(scene, sampler, ray: Ray, max_depth: int,
         )
         return new_st, log
 
-    st, logs = jax.lax.scan(body, st, None, length=max_depth)
+    st, logs = jax.lax.scan(body, st, None, length=max_depth, unroll=True)
     logs = jax.tree.map(lambda x: x[:k_log], logs)
     return st.L, st.depth > 0, logs
 
@@ -885,9 +885,12 @@ def backward_core(scene, grad_in, ray, sampler, lane0, s_idx, max_depth,
     from ..ad import prb as prb_mod
     w_lane = weight if weight is not None else jnp.ones((n, 3), jnp.float32)
     dL = g_lane[:, :3] * w_lane / jnp.float32(bwd_spp)
-    L_total, _ = P.sample_primal(scene, sampler, ray, max_depth, rr_depth)
+    # record the trace during the L_total pass so the PRB replay performs
+    # no traversal (ad/prb.py record-and-replay)
+    L_total, _, trace = P.sample_primal_recorded(scene, sampler, ray,
+                                                 max_depth, rr_depth)
     prb_grads = prb_mod.prb_backward(scene, sampler, ray, dL, L_total,
-                                     max_depth, rr_depth)
+                                     max_depth, rr_depth, trace=trace)
     leaves_g, treedef = jax.tree.flatten(g_scene)
     merged = [lg + pg if pg is not None else lg
               for lg, pg in zip(leaves_g, prb_grads)]

@@ -235,7 +235,9 @@ def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
         st2, _rec = bounce(scene_d, st, 0, max_depth, rr_depth)
         return st2, None
 
-    st, _ = jax.lax.scan(body, st, None, length=max_depth)
+    # unroll: XLA pipelines/specializes across bounces — measured 2x on
+    # the cornell primal vs the rolled scan (v5e, 1M lanes, d6)
+    st, _ = jax.lax.scan(body, st, None, length=max_depth, unroll=True)
     return st.L, st.depth > 0
 
 
@@ -259,7 +261,7 @@ def sample_primal_recorded(scene, sampler, ray: Ray, max_depth: int,
         st2, rec = bounce(scene_d, st, 0, max_depth, rr_depth)
         return st2, {"pi": rec["pi"], "occl": rec["occl"]}
 
-    st, trace = jax.lax.scan(body, st, None, length=max_depth)
+    st, trace = jax.lax.scan(body, st, None, length=max_depth, unroll=True)
     return st.L, st.depth > 0, trace
 
 

@@ -133,14 +133,45 @@ _MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
                "sphere", "cylinder", "instance", "shapegroup", "mesh")
 
 
+def _parse_spd(value: dict):
+    """Tabulated-spectrum dict -> (wavelengths (M,), values (M,)) float64.
+
+    ``regular``:   values + [wavelength_min, wavelength_max] (regular.cpp)
+    ``irregular``: explicit wavelengths + values, or the Mitsuba string
+                   form "lam0:v0, lam1:v1, ..." (irregular.cpp)."""
+    if isinstance(value.get("value"), str):
+        pairs = [p.split(":") for p in value["value"].split(",") if ":" in p]
+        lams = np.asarray([float(a) for a, _ in pairs], np.float64)
+        vals = np.asarray([float(b) for _, b in pairs], np.float64)
+        return lams, vals
+    vals = np.asarray(value.get("values", value.get("value")), np.float64)
+    if value.get("type") == "regular" or "wavelengths" not in value:
+        lo = float(value.get("wavelength_min", value.get("lambda_min", 360)))
+        hi = float(value.get("wavelength_max", value.get("lambda_max", 830)))
+        lams = np.linspace(lo, hi, len(vals))
+    else:
+        lams = np.asarray(value["wavelengths"], np.float64)
+    return lams, vals
+
+
 def _rgb(value, default=(1.0, 1.0, 1.0)):
     """Parse a Mitsuba color spec: scalar | [r,g,b] | {'type':'rgb','value':..}."""
     if value is None:
         return np.asarray(default, np.float32)
     if isinstance(value, dict):
         t = value.get("type", "rgb")
-        if t in ("rgb", "srgb", "d65", "uniform", "regular", "irregular"):
+        if t in ("rgb", "srgb", "d65", "uniform"):
             return _rgb(value.get("value", value.get("color", default)))
+        if t in ("regular", "irregular"):
+            # tabulated SPD (src/spectra/{regular,irregular}.cpp) projected
+            # through the CIE-integration sRGB pipeline (core/spectral.py)
+            lams, vals = _parse_spd(value)
+            from ..core.spectral import project_to_rgb
+            rgb = project_to_rgb(
+                lambda lam: np.interp(np.asarray(lam, np.float64),
+                                      lams, vals, left=0.0, right=0.0))
+            return np.asarray(rgb, np.float32) * float(value.get("scale",
+                                                                 1.0))
         if t == "blackbody":
             from ..core.spectrum import blackbody_rgb
             rgb = blackbody_rgb(float(value.get("temperature", 5000.0)),

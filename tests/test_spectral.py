@@ -101,3 +101,21 @@ def test_specfilm_bins():
     long_e = red_col[4:6].sum()
     short_e = red_col[1:3].sum()
     assert long_e > short_e, (long_e, short_e)
+
+
+def test_tabulated_spectra_to_rgb():
+    """regular/irregular SPD dicts (src/spectra/{regular,irregular}.cpp)
+    integrate against the CIE pipeline instead of collapsing to white."""
+    import numpy as np
+    from epsm_mitsuba3_tpu.models.scene import _rgb
+
+    flat = _rgb({"type": "regular", "wavelength_min": 360,
+                 "wavelength_max": 830, "values": [1.0] * 20})
+    np.testing.assert_allclose(flat, [1.0, 1.0, 1.0], atol=1e-3)
+
+    red = _rgb({"type": "irregular", "value": "400:0, 580:0, 610:1, 700:1"})
+    assert red[0] > 3 * max(abs(red[1]), abs(red[2]))
+
+    green = _rgb({"type": "regular", "wavelength_min": 500,
+                  "wavelength_max": 560, "values": [1.0, 1.0]})
+    assert green[1] > green[0] and green[1] > green[2]
