@@ -836,6 +836,38 @@ _EVAL_PDF_FNS = {
     KIND_CIRCULAR: _null_eval_pdf,
 }
 
+#: first kind id handed out to user-registered BSDFs
+_CUSTOM_KIND_BASE = 1000
+
+
+def register_bsdf(name: str, *, eval_pdf_fn, sample_fn,
+                  flags: int = None) -> int:
+    """Third-party BSDF plugin path — the analog of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168),
+    which round 1 only offered for integrators.
+
+    ``eval_pdf_fn(params, wi, wo) -> (f*cos_theta_o (N,3), pdf (N,))`` and
+    ``sample_fn(params, wi, s1, s2) -> (BSDFSample, weight (N,3), ok (N,))``
+    must be pure jnp functions of the gathered per-lane parameter dict
+    (keys: 'reflectance', 'alpha', 'eta', ... — the SoA bsdf table row).
+    Registration is static: it happens before tracing, so the scene's
+    kind-set dispatch (the vcall-record analog) simply gains one more
+    branch; scenes then use ``{"type": "<name>", ...}`` like any built-in.
+
+    Returns the assigned kind id."""
+    if name in KIND_NAMES:
+        raise ValueError(f"bsdf type '{name}' already registered")
+    kind = _CUSTOM_KIND_BASE + sum(
+        1 for k in _SAMPLE_FNS if k >= _CUSTOM_KIND_BASE)
+    KIND_NAMES[name] = kind
+    _SAMPLE_FNS[kind] = sample_fn
+    _EVAL_PDF_FNS[kind] = eval_pdf_fn
+    KIND_FLAGS[kind] = (flags if flags is not None
+                        else BSDFFlags.DiffuseReflection
+                        | BSDFFlags.FrontSide)
+    return kind
+
+
 _TRANSMISSIVE_KINDS = (
     KIND_DIELECTRIC, KIND_THINDIELECTRIC, KIND_ROUGHDIELECTRIC, KIND_NULL,
     KIND_POLARIZER, KIND_RETARDER, KIND_CIRCULAR,
