@@ -164,7 +164,10 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
                           bsdf_weight * le
                           * (w * det_b / bsdf_samples)[..., None], 0.0)
 
-    return L * det0[..., None]
+    # camera det/warp applied at the film (attached splat positions) by the
+    # caller — a fixed-pixel L*det estimator advects the pixel domain with
+    # the geometry (see ad/prb.py bwd cam_obj / common.py:406-417)
+    return L, d0, det0
 
 
 @functools.lru_cache(maxsize=None)
@@ -224,4 +227,122 @@ def render_direct_reparam(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
                           rp_items=()):
     fn = _make_render(sensor_idx, spp, emitter_samples, bsdf_samples,
                       rp_items)
+    return fn(scene, jnp.asarray(seed, jnp.uint32))
+
+
+# ---------------------------------------------------------------------------
+# emission_reparam (reference emission_reparam.py:1-128): camera-ray-only
+# reparameterization of the *directly visible emission* estimator — the
+# depth-0 restriction of the reparam family, used to learn/debug moving-
+# emitter silhouette gradients.
+# ---------------------------------------------------------------------------
+
+def _emission_L(scene, ray: Ray, n: int, seed, rp_cfg: dict, attached: bool):
+    """L = emitter seen by the (possibly reparameterized) camera ray
+    (reference emission_reparam.py:117-126).  Returns (L, d0, det0): the
+    attached warped direction and divergence determinant are applied by
+    the caller at the *film* level (attached splatting position), since a
+    fixed-pixel ``L*det`` estimator advects the pixel domain with the
+    geometry and yields wrong per-pixel gradients (the reason the
+    reference re-projects pos in sample_rays, common.py:406-417)."""
+    if attached:
+        num_rays = int(rp_cfg.get("num_rays", 16))
+        kappa = float(rp_cfg.get("kappa", 1e5))
+        exponent = float(rp_cfg.get("exponent", 3.0))
+        rs = smp.seed(jnp.asarray(seed, jnp.uint32) * jnp.uint32(0x9E3779B9)
+                      + jnp.uint32(11), n)
+        _, d0, det0 = reparameterize_ray(scene, rs, ray,
+                                         jnp.ones((n,), bool),
+                                         num_rays=num_rays, kappa=kappa,
+                                         exponent=exponent)
+    else:
+        d0, det0 = ray.d, jnp.ones((n,), ray.o.dtype)
+    ray_rep = Ray.make(ray.o, d0)
+    scene_d = jax.lax.stop_gradient(scene)
+    # primal hit from the detached ray; surface fields re-attached through
+    # the reparameterized ray (the reference's ray_intersect on ray_reparam)
+    pi = scene_d.ray_intersect_preliminary(
+        jax.tree.map(jax.lax.stop_gradient, ray))
+    si = I.compute_surface_interaction(scene, ray_rep, pi, RayFlags.All)
+    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    L = L + E.eval_env(scene.emitters, scene.static.emitter_kinds, d0,
+                       ~si.valid, scene.textures, scene.static.env_texture)
+    return L, d0, det0
+
+
+@functools.lru_cache(maxsize=None)
+def _make_emission_render(sensor_idx, spp, rp_items=()):
+    from ..models import films
+    rp_cfg = dict(rp_items)
+
+    def _primal(scene, seed):
+        sensor = scene.sensors[sensor_idx]
+        n = sensor.width * sensor.height * spp
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
+        sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+        L, _, _ = _emission_L(jax.lax.stop_gradient(scene), ray, n, seed,
+                              rp_cfg, attached=False)
+        value = L * weight
+        if sensor.rfilter == "box":
+            return films.accumulate_coalesced(value, sensor.width,
+                                              sensor.height, spp)
+        data, w = films.splat(pos, value, sensor.width, sensor.height,
+                              sensor.rfilter)
+        return films.develop(data, w)
+
+    @jax.custom_vjp
+    def render_fn(scene, seed):
+        return _primal(scene, seed)
+
+    def fwd(scene, seed):
+        return _primal(scene, seed), (scene, seed)
+
+    def bwd(res, g_img):
+        scene, seed = res
+        sensor = scene.sensors[sensor_idx]
+        n = sensor.width * sensor.height * spp
+        sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
+        sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+        diff0, rest, treedef = prb.split_scene(scene)
+        # smooth filter mandatory for moving splat positions: the reference
+        # *raises* on box (common.py:378-386); we fall back to gaussian
+        rfilter = "gaussian" if sensor.rfilter == "box" else sensor.rfilter
+
+        def scalar_obj(diff):
+            sc = prb.merge_scene(diff, rest, treedef)
+            L, d0, det0 = _emission_L(
+                sc, jax.tree.map(jax.lax.stop_gradient, ray), n, seed,
+                rp_cfg, attached=True)
+            from ..models import sensors as S
+            pos_att = S.project_to_film(sensor, d0)
+            if pos_att is None:
+                pos_att = jax.lax.stop_gradient(pos)
+            # value channel L*weight*det, weight channel det — the develop
+            # ratio Σ(f L det)/Σ(f det) cancels the raw divergence except
+            # where it correlates with L (the reference's block.put with
+            # weight=det, common.py:261-266)
+            value = L * jax.lax.stop_gradient(weight)
+            data, w = films.splat(pos_att, value, sensor.width,
+                                  sensor.height, rfilter, extra_weight=det0)
+            img = films.develop(data, w)
+            return jnp.sum(img * g_img)
+
+        grads = jax.grad(scalar_obj)(diff0)
+        leaves = []
+        for d, r, g in zip(diff0, rest, grads):
+            if d is not None:
+                leaves.append(g)
+            else:
+                leaves.append(np.zeros(r.shape, jax.dtypes.float0))
+        d_scene = jax.tree.unflatten(treedef, leaves)
+        return d_scene, np.zeros((), jax.dtypes.float0)
+
+    render_fn.defvjp(fwd, bwd)
+    return render_fn
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "rp_items"))
+def render_emission_reparam(scene, seed=0, sensor_idx: int = 0,
+                            spp: int = 16, rp_items=()):
+    fn = _make_emission_render(sensor_idx, spp, rp_items)
     return fn(scene, jnp.asarray(seed, jnp.uint32))

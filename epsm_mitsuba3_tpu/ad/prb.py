@@ -87,11 +87,18 @@ def film_adjoint(g_img, pos, weight, sensor, spp, n):
 def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
                    st_prev_p, st_prev_bsdf_pdf, st_prev_bsdf_delta, st_active,
                    L_remaining, sampler_s2, max_depth, depth, rr_depth,
-                   occl=None):
+                   occl=None, rp_em=None):
     """Differentiable per-bounce contribution Lo (epsm.py:566-715).
 
     All control decisions (hit prim, sampled directions, pdfs for MIS, RR)
     are detached inputs; only the scene leaves carry gradients.
+
+    ``rp_em``: optional ``(ray, active) -> (d, det)`` NEE shadow-ray
+    reparameterization (prb_reparam.py:392-418): the divergence det of the
+    warp toward the emitter multiplies Lr_dir, recovering moving-shadow
+    silhouette gradients that the frozen visibility mask hides.  The ray
+    originates from a FollowShape interaction so the warp measures the
+    occluder's motion *relative to* the receiving shape.
     """
     ray = Ray.make(rec_ray_o, rec_ray_d)
     si = I.compute_surface_interaction(scene, ray, pi, RayFlags.All)
@@ -139,6 +146,14 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
                           jax.lax.stop_gradient(bsdf_pdf_em)),
     )
     lr_dir = st_beta * mis_em[..., None] * bsdf_val_em * em_weight
+    if rp_em is not None:
+        si_follow = I.compute_surface_interaction(
+            scene, ray, pi, RayFlags.All | RayFlags.FollowShape)
+        em_ray = Ray.make(si_follow.p,
+                          m.normalize(jax.lax.stop_gradient(ds.p)
+                                      - si_follow.p))
+        _, det_em = rp_em(em_ray, active_em)
+        lr_dir = lr_dir * det_em[..., None]
 
     # --- indirect: cancel detached BSDF weight, re-attach (epsm.py:698-712) ---
     wo_ind = si.to_local(next_ray_d)
@@ -197,21 +212,37 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
             sc = merge_scene(diff, rest, treedef)
             d_in = ray_d
             det = None
+            rp_em = None
             if reparam_cfg is not None:
                 from .reparam import reparameterize_ray
+                num_rays = int(reparam_cfg.get("num_rays", 4))
+                kappa = float(reparam_cfg.get("kappa", 1e5))
+                exponent = float(reparam_cfg.get("exponent", 3.0))
                 rs = smp.seed(it * jnp.uint32(0x9E3779B9) + jnp.uint32(17),
                               n)
                 _, d_in, det = reparameterize_ray(
                     sc, rs, Ray.make(ray_o, ray_d), active,
-                    num_rays=int(reparam_cfg.get("num_rays", 4)),
-                    kappa=float(reparam_cfg.get("kappa", 1e5)),
-                    exponent=float(reparam_cfg.get("exponent", 3.0)),
+                    num_rays=num_rays, kappa=kappa, exponent=exponent,
                 )
+                # camera vertex: the divergence determinant belongs to the
+                # *film* integral and is applied there with attached
+                # splatting positions (prb_reparam.py:353 forces
+                # ray_reparam_det[first_vertex]=1); the warped direction
+                # stays attached for the first-hit emission term
+                det = jnp.where(it == 0, 1.0, det)
+
+                def rp_em(em_ray, a_em):
+                    rs2 = smp.seed(it * jnp.uint32(0x9E3779B9)
+                                   + jnp.uint32(29), n)
+                    _, d_e, det_e = reparameterize_ray(
+                        sc, rs2, em_ray, a_em,
+                        num_rays=num_rays, kappa=kappa, exponent=exponent)
+                    return d_e, det_e
             lo = _local_contrib(
                 sc, ray_o, d_in, _pi_of(rec["si"]),
                 st2.ray_d, beta, prev_p, prev_pdf, prev_delta, active,
                 jax.lax.stop_gradient(L_remaining), s2_peek, max_depth, depth,
-                rr_depth, occl=rec["occl"],
+                rr_depth, occl=rec["occl"], rp_em=rp_em,
             )
             if det is not None:
                 lo = lo * det[..., None]
@@ -306,6 +337,40 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
             reparam_cfg={} if reparam else None, trace=trace)
         # assemble scene cotangent
         diff0, rest, treedef = split_scene(scene)
+        if reparam:
+            # camera-vertex reparam at the film level: attached splatting
+            # positions (re-projected warped directions) + divergence det
+            # in the weight channel — Σ(f L det)/Σ(f det) (the reference's
+            # sample_rays re-projection, common.py:406-417, and
+            # block.put(..., weight=det), common.py:261-266).  A fixed-
+            # pixel L*det estimator advects the pixel domain with the
+            # geometry and misses radiance flux across pixel borders.
+            from ..models import films as films_mod
+            from ..models import sensors as S
+            from .reparam import reparameterize_ray as _rp
+            rfilter = ("gaussian" if sensor.rfilter == "box"
+                       else sensor.rfilter)
+            ray_det = jax.tree.map(jax.lax.stop_gradient, ray)
+            ones = jnp.ones((n,), bool)
+            value = jax.lax.stop_gradient(L_total * weight)
+
+            def cam_obj(diff):
+                sc = merge_scene(diff, rest, treedef)
+                rs = smp.seed(jnp.asarray(seed, jnp.uint32)
+                              * jnp.uint32(0x9E3779B9) + jnp.uint32(23), n)
+                _, d0, det0 = _rp(sc, rs, ray_det, ones)
+                pos_att = S.project_to_film(sensor, d0)
+                if pos_att is None:
+                    pos_att = jax.lax.stop_gradient(pos)
+                data, w = films_mod.splat(pos_att, value, sensor.width,
+                                          sensor.height, rfilter,
+                                          extra_weight=det0)
+                img2 = films_mod.develop(data, w)
+                return jnp.sum(img2 * g_img)
+
+            gcam = jax.grad(cam_obj)(diff0)
+            grads = [(a + b) if a is not None else None
+                     for a, b in zip(grads, gcam)]
         leaves = []
         for d, r, g in zip(diff0, rest, grads):
             if d is not None:

@@ -93,11 +93,16 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             else:
                 acc, comp = kahan_add(acc, comp, img)
         return acc / n_passes
-    if kind in ("path", "prb", "prb_basic", "prb_reparam",
-                "emission_reparam"):
-        # emission_reparam (emission_reparam.py:128) is the restriction of
-        # prb_reparam to the emission vertex; the full per-bounce reparam
-        # is a strict superset, so the name maps to reparam=True below
+    if kind == "emission_reparam":
+        # camera-ray-only reparam of directly-visible emission
+        # (emission_reparam.py:117-126)
+        from . import direct_reparam as dr_mod
+        rp_items = tuple(sorted(
+            (k_, cfg[k_]) for k_ in ("num_rays", "kappa", "exponent")
+            if k_ in cfg))
+        return dr_mod.render_emission_reparam(
+            scene, seed=seed, sensor_idx=sensor, spp=spp, rp_items=rp_items)
+    if kind in ("path", "prb", "prb_basic", "prb_reparam"):
         from . import prb
         return prb.render_prb(
             scene, seed=seed, sensor_idx=sensor, spp=spp,

@@ -24,9 +24,38 @@ from ..ops import intersect as I
 
 def boundary_test(scene, si, ray_d):
     """Silhouette proximity measure (mesh.cpp:840-886 BoundaryTest):
-    squared dot of interpolated normal and -ray.d (0 at silhouettes)."""
+    0 at silhouettes so the harmonic weights concentrate there and the
+    warp field attains the *full* geometry velocity at the discontinuity
+    (required for unbiased flux — at B(sil)=1/2 the recovered silhouette
+    gradient halves, see test_emission_reparam_moving_emitter).
+
+    Two silhouette types, combined with min():
+      * grazing (closed smooth objects): dot(sh_n, -d)^2 (mesh.cpp:885)
+      * open edges (rectangle.cpp:320 uv-distance / mesh.cpp:877 flat-
+        shading triangle SDF): distance to the triangle boundary in
+        barycentric coordinates, scaled so the barycenter is 1.  Interior
+        (shared) edges of smooth meshes also get low B — extra aux-ray
+        weight where the warp field is smooth adds variance, not bias.
+    """
     dp = m.dot(si.sh_n, -ray_d)
-    return jnp.where(si.valid, dp * dp, 1.0)
+    b_graze = dp * dp
+    face_open = getattr(scene, "face_open", None)
+    if face_open is None:
+        return jnp.where(si.valid, b_graze, 1.0)
+    # barycentric distance to the open edges of the hit triangle (edge
+    # opposite vertex k ~ 3*b_k); closed (shared) edges are NOT boundaries
+    # — a coarse mesh's interior diagonal sitting behind another object's
+    # silhouette would otherwise hijack the warp field toward the wrong
+    # shape's velocity.
+    fo = face_open[jnp.clip(si.prim_index, 0, face_open.shape[0] - 1)]
+    fo = fo.astype(si.b0.dtype)
+    b2 = 1.0 - si.b0 - si.b1
+    bary = jnp.stack([si.b0, si.b1, b2], -1)
+    b_edge = jnp.min(jnp.where(fo > 0.5, 3.0 * bary, 1.0), axis=-1)
+    # analytic quadrics carry no barycentrics (b0=b1=0, ismesh=0): grazing
+    # term only (sphere.cpp:570)
+    b = jnp.where(si.ismesh > 0.5, jnp.minimum(b_graze, b_edge), b_graze)
+    return jnp.where(si.valid, b, 1.0)
 
 
 def square_to_von_mises_fisher(sample, kappa):

@@ -80,6 +80,11 @@ class Scene:
     #: analytic spheres (ops/quadric.py): (S,4) [center,radius] + shape idx
     sph_data: jnp.ndarray = None
     sph_shape: jnp.ndarray = None
+    #: (F,3) int8: edge opposite face-vertex k lies on an *open* mesh
+    #: boundary (only one adjacent triangle, keyed by vertex position so
+    #: split-normal seams stay closed).  Drives the edge-silhouette
+    #: boundary test (rectangle.cpp:320 / mesh.cpp:877 analog).
+    face_open: jnp.ndarray = None
     static: SceneStatic = static_field(default=None)
 
     # -- ray queries (scene.cpp:116-142) ------------------------------------
@@ -232,6 +237,25 @@ def _ior(v, default):
     if isinstance(v, str):
         return _IOR_NAMES.get(v, default)
     return float(v)
+
+
+def _open_edge_mask(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """(F,3) int8: edge opposite face-vertex k has exactly one adjacent
+    triangle.  Edges are keyed by *quantized vertex position* so seams from
+    split normals/uvs (duplicated vertex ids) still count as shared —
+    otherwise every edge of a per-face-normal cube would read as a
+    silhouette boundary (rectangle.cpp:320 / mesh.cpp:855-877 analog)."""
+    if len(faces) == 0:
+        return np.zeros((0, 3), np.int8)
+    scale = float(np.abs(vertices).max()) or 1.0
+    q = np.round(vertices / (scale * 1e-6)).astype(np.int64)
+    _, vid = np.unique(q, axis=0, return_inverse=True)
+    f = vid[faces]                                     # (F,3) position ids
+    e = np.stack([f[:, [1, 2]], f[:, [2, 0]], f[:, [0, 1]]], 1)  # (F,3,2)
+    e = np.sort(e.reshape(-1, 2), axis=1)
+    _, inv, cnt = np.unique(e, axis=0, return_inverse=True,
+                            return_counts=True)
+    return (cnt[inv] == 1).reshape(len(faces), 3).astype(np.int8)
 
 
 class _Builder:
@@ -873,6 +897,7 @@ class _Builder:
 
         vertices = np.concatenate(self.vertices)
         faces = np.concatenate(self.faces)
+        face_open = _open_edge_mask(vertices, faces)
         bvh = None
         from ..ops import accel
         if len(faces) > accel.BRUTE_FORCE_MAX_TRIS:
@@ -900,6 +925,7 @@ class _Builder:
                       if self.sph_rows else None),
             sph_shape=(jnp.asarray(self.sph_shape_rows, jnp.int32)
                        if self.sph_rows else None),
+            face_open=jnp.asarray(face_open),
             static=static,
         )
 

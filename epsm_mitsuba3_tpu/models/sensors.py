@@ -171,3 +171,26 @@ def _sample_batch(sensor: Sensor, pos01: jnp.ndarray):
 
     ray = Ray.make(o, d, d_x=d_x, d_y=d_y)
     return ray, jnp.ones(d.shape[:-1] + (3,), d.dtype)
+
+
+def project_to_film(sensor: Sensor, d_world: jnp.ndarray) -> jnp.ndarray:
+    """World direction -> continuous film position in pixels (the
+    perspective inverse of ``sample_ray_differential``; the reference gets
+    this via ``sensor.sample_direction`` when reparameterizing the camera
+    ray, common.py:406-417).  Differentiable w.r.t. ``d_world`` — used to
+    produce *attached* splatting positions so moving-silhouette flux
+    crosses pixel borders correctly (reparam at the camera vertex).
+
+    Supported: perspective (pinhole); other kinds fall back to the caller's
+    detached positions (returns None).
+    """
+    if sensor.kind not in ("perspective", "thinlens"):
+        return None
+    aspect = sensor.width / sensor.height
+    tan_half = jnp.tan(jnp.deg2rad(sensor.fov_x) * 0.5)
+    R = sensor.to_world[:3, :3]
+    d_cam = jnp.einsum("ji,...j->...i", R, d_world)   # R^T d
+    z = jnp.where(jnp.abs(d_cam[..., 2]) < 1e-8, 1e-8, d_cam[..., 2])
+    u = 0.5 * (1.0 - d_cam[..., 0] / (z * tan_half))
+    v = 0.5 * (1.0 - d_cam[..., 1] * aspect / (z * tan_half))
+    return jnp.stack([u * sensor.width, v * sensor.height], axis=-1)
