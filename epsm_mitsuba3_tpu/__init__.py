@@ -25,5 +25,6 @@ from .models.records import (Ray, RayFlags, SurfaceInteraction,  # noqa: F401
                              BSDFSample, DirectionSample)
 from .ad.render import render, register_integrator  # noqa: F401
 from .models.bsdf import register_bsdf  # noqa: F401
+from .models.emitters import register_emitter  # noqa: F401
 
 __version__ = "0.1.0"

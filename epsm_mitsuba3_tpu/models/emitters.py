@@ -372,6 +372,55 @@ _SAMPLE_FNS = {
     KIND_PROJECTOR: _spot_sample,  # overridden in sample_direction (textures)
 }
 
+_CUSTOM_KIND_BASE = 1000
+_CUSTOM_PDF_FNS: Dict[int, object] = {}
+_CUSTOM_EVAL_FNS: Dict[int, object] = {}
+
+
+def register_emitter(name: str, *, sample_fn, pdf_fn=None,
+                     eval_hit_fn=None) -> int:
+    """Third-party emitter plugin path — the emitter leg of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168),
+    completing the plugin-manager story alongside ``register_integrator``
+    and ``register_bsdf``.
+
+    ``sample_fn(row, ref_p, s2) -> (DirectionSample, spec (N,3))`` samples a
+    NEE direction toward the emitter from reference points ``ref_p`` (N,3)
+    with 2-D uniforms ``s2``; ``row`` is the gathered per-lane emitter-table
+    row (keys: 'position', 'direction', 'intensity', 'radiance',
+    'cutoff_cos', ... — generic fields the dict loader parses for every
+    emitter).  The returned ``DirectionSample.pdf`` must be the solid-angle
+    pdf WITHOUT the 1/E emitter-pick factor (applied by the dispatcher,
+    scene.cpp:265), and ``.delta`` marks Dirac emitters (skipped by MIS).
+
+    ``pdf_fn(row, ref_p, d, hit_p, hit_n) -> pdf (N,)`` is the
+    ``pdf_emitter_direction`` leg for MIS against BSDF sampling; omit it
+    for delta emitters (pdf identically 0, like point/spot).
+
+    ``eval_hit_fn(row, wi_local_z, uv) -> (N,3)`` is ``Emitter::eval`` for
+    custom emitters attached to scene shapes (BSDF-sampled direct hits);
+    omit it for shapeless emitters.
+
+    Registration is static (before tracing): the scene's static kind-set
+    dispatch simply gains one more branch, so scenes can then use
+    ``{"type": "<name>", ...}`` like any built-in.  Returns the kind id."""
+    if name in KIND_NAMES:
+        raise ValueError(f"emitter type '{name}' already registered")
+    kind = _CUSTOM_KIND_BASE + sum(
+        1 for k in _SAMPLE_FNS if k >= _CUSTOM_KIND_BASE)
+    KIND_NAMES[name] = kind
+
+    def _wrapped(p_em, ref_p, s2, em_idx, *_geom):
+        ds, spec = sample_fn(p_em, ref_p, s2)
+        return ds.replace(emitter_index=em_idx), spec
+
+    _SAMPLE_FNS[kind] = _wrapped
+    if pdf_fn is not None:
+        _CUSTOM_PDF_FNS[kind] = pdf_fn
+    if eval_hit_fn is not None:
+        _CUSTOM_EVAL_FNS[kind] = eval_hit_fn
+    return kind
+
 
 def pdf_direction(
     table, kinds_present, ref_p, d, hit_emitter_idx, hit_p, hit_n,
@@ -408,6 +457,12 @@ def pdf_direction(
         else:
             inf_pdf = warp.square_to_uniform_sphere_pdf(d)
         pdf = jnp.where(is_inf, inf_pdf, pdf)
+    custom_present = [k for k in kinds_present if k in _CUSTOM_PDF_FNS]
+    if custom_present:
+        row = {k: take_rows(v, safe_idx) for k, v in table.items()}
+        for ck in custom_present:
+            cpdf = _CUSTOM_PDF_FNS[ck](row, ref_p, d, hit_p, hit_n)
+            pdf = jnp.where(kind == ck, cpdf, pdf)
     pdf = pdf / n_em
     return jnp.where(active & (hit_emitter_idx >= 0), pdf, 0.0)
 
@@ -421,7 +476,14 @@ def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
     kind = take_rows(table["kind"][:, None], safe)[..., 0]
     is_area = (kind == KIND_AREA) | (kind == KIND_DIRECTIONALAREA)
     vis = (si_emitter_idx >= 0) & is_area & (wi_local_z > 0.0)
-    return jnp.where(vis[..., None], rad, 0.0)
+    out = jnp.where(vis[..., None], rad, 0.0)
+    if _CUSTOM_EVAL_FNS:
+        row = {k: take_rows(v, safe) for k, v in table.items()}
+        for ck, fn in _CUSTOM_EVAL_FNS.items():
+            val = fn(row, wi_local_z, uv)
+            out = jnp.where(((si_emitter_idx >= 0) & (kind == ck))[..., None],
+                            val, out)
+    return out
 
 
 def eval_env(table, kinds_present, d, active, textures=(),
