@@ -6,13 +6,25 @@ scene assets and publishes no numbers; BASELINE.json ``published: {}``).
 The 64 spp wavefront is rendered in spp-chunked passes, mirroring the
 reference's multi-pass splitting (integrator.cpp:201-219).
 
-Prints ONE JSON line:
-  {"metric": "Mrays/s/chip fwd+bwd @512^2 64spp d6", "value": ...,
-   "unit": "Mrays/s", "vs_baseline": null}
+Honesty rules (VERDICT r2 Weak #2):
+  * ``value`` counts PHYSICALLY TRACED rays only: the record-and-replay
+    pipeline traverses the scene once per fwd+bwd iteration (closest hit +
+    shadow ray per bounce), so rays = lanes * max_depth * 2 per pass.
+    ``value_legacy`` keeps one round of the old 3x work-normalized
+    accounting for cross-round continuity, then dies.
+  * the timed step returns the FULL gradient pytree (every float leaf of
+    the scene), so XLA cannot dead-code-eliminate any parameter cotangent.
+  * ``vs_baseline`` is the fraction of the first-principles speed-of-light
+    bound (BASELINE.json's north star is "speed-of-light Mrays/s per
+    chip"; the reference publishes no numbers to compare against):
+    measured Mrays/s / (HBM bandwidth / bytes-per-ray), with bytes-per-ray
+    from instrumented traversal counters (ops/traverse.py:traverse_stats)
+    x the packed node (64 B) and triangle (36 B) record sizes.  Perfect
+    caching would beat 1.0; a fraction far below 1 means the kernel, not
+    the memory system, is the limiter.
 
-Ray accounting: every bounce issues one closest-hit and one shadow ray per
-lane (masked lanes still occupy the vector units — that is the real
-wavefront cost on TPU), so rays = lanes * max_depth * 2 per pass.
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": f, ...}
 """
 import json
 import sys
@@ -22,6 +34,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
+
+# HBM bandwidth by TPU generation (public chip specs), bytes/s
+_HBM_BW = {
+    "v4": 1.228e12,
+    "v5 lite": 0.819e12, "v5e": 0.819e12, "v5litepod": 0.819e12,
+    "v5p": 2.765e12,
+    "v6e": 1.638e12, "v6 lite": 1.638e12, "trillium": 1.638e12,
+}
+_NODE_BYTES = 64.0      # packed BVH node record (traverse.py PACK_W * 4)
+_TRI_BYTES = 36.0       # one packed tri9 row (9 f32)
+
+
+def _device_bw():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for k, bw in _HBM_BW.items():
+        if k in kind:
+            return bw, kind
+    return 0.819e12, kind + " (bw assumed v5e)"
+
+
+def _grad_leaves(g):
+    """All float cotangent leaves, reduced — forces XLA to materialize
+    every parameter gradient inside the timed program."""
+    import jax.numpy as jnp
+    import jax
+    tot = 0.0
+    for leaf in jax.tree.leaves(g):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            tot = tot + jnp.sum(jnp.abs(leaf))
+    return tot
 
 
 def _bench_scene(scene_dict, res, spp_chunk, n_chunks, max_depth):
@@ -40,29 +84,59 @@ def _bench_scene(scene_dict, res, spp_chunk, n_chunks, max_depth):
             img = render_fn(scene, seed)
             return jnp.mean((img - img_ref) ** 2)
         l, g = jax.value_and_grad(loss, allow_int=True)(scene)
-        return l, g.vertices
+        # reduce the FULL cotangent tree to one scalar output: every leaf
+        # is live, nothing can be DCE'd, and device->host traffic stays
+        # out of the timing
+        return l, _grad_leaves(g)
 
     img_ref = jnp.zeros((res, res, 3), jnp.float32)
-    l, gv = fwd_bwd_pass(scene, jnp.uint32(0), img_ref)   # warmup/compile
+    l, gsum = fwd_bwd_pass(scene, jnp.uint32(0), img_ref)   # warmup/compile
     l.block_until_ready()
 
     t0 = time.perf_counter()
     for p in range(n_chunks):
-        l, gv = fwd_bwd_pass(scene, jnp.uint32(p + 1), img_ref)
+        l, gsum = fwd_bwd_pass(scene, jnp.uint32(p + 1), img_ref)
     l.block_until_ready()
-    gv.block_until_ready()
+    gsum.block_until_ready()
     dt = time.perf_counter() - t0
 
     lanes = res * res * spp_chunk
-    # Accounting (kept identical to round 1 so vs-round numbers compare):
-    # one fwd+bwd iteration does the WORK of 3 traversal sweeps per bounce
-    # (primal, L_total replay, grad replay — the reference's 2-pass RB,
-    # common.py:574-974).  Since the record-and-replay pipeline, the
-    # backward consumes the forward's recorded trace and physically
-    # traverses the scene once; the metric is therefore a work-normalized
-    # fwd+bwd throughput, not a count of kernel-traced rays.
-    rays = lanes * max_depth * 2 * 3 * n_chunks
-    return rays / dt / 1e6, int(scene.faces.shape[0])
+    # PHYSICAL rays: record-and-replay traverses once per iteration —
+    # closest hit + shadow ray per bounce per lane.
+    rays = lanes * max_depth * 2 * n_chunks
+    return rays / dt / 1e6, scene, float(gsum)
+
+
+def _roofline(scene, res, max_depth):
+    """First-principles HBM roofline for the BVH workload: instrument the
+    actual traversal on this scene's camera + bounce rays, convert mean
+    (node pops, tri tests) per ray to bytes, divide into device HBM BW."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from epsm_mitsuba3_tpu.integrators import common
+    from epsm_mitsuba3_tpu.models import samplers as smp
+    from epsm_mitsuba3_tpu.ops import traverse as trv
+
+    if scene.bvh is None:
+        return None
+    sensor = scene.sensors[0]
+    spp = 1
+    n = sensor.width * sensor.height * spp
+    sampler = smp.seed(jnp.uint32(7), n, kind=scene.static.sampler_kind,
+                       spp=spp)
+    sampler, ray, _, _ = common.sample_rays(sensor, sampler, spp)
+    pops, tris = jax.jit(trv.traverse_stats, static_argnums=())(
+        scene.bvh, scene.vertices, scene.faces, ray)
+    pops, tris = float(pops), float(tris)
+    bytes_per_ray = pops * _NODE_BYTES + tris * _TRI_BYTES
+    bw, kind = _device_bw()
+    sol_mrays = bw / bytes_per_ray / 1e6
+    return {"sol_mrays": round(sol_mrays, 1),
+            "node_pops_per_ray": round(pops, 1),
+            "tri_tests_per_ray": round(tris, 1),
+            "bytes_per_ray": round(bytes_per_ray, 1),
+            "device": kind}
 
 
 def main():
@@ -74,32 +148,42 @@ def main():
     max_depth = int(os.environ.get("BENCH_DEPTH", 6))
     n_chunks = max(1, spp_total // spp_chunk)
 
-    mrays, _ = _bench_scene(
+    mrays, _, _ = _bench_scene(
         cornell_box(res=res, spp=spp_chunk, max_depth=max_depth),
         res, spp_chunk, n_chunks, max_depth)
 
-    # BVH-path workload: >=50k-triangle displaced mesh in the box — the
-    # path bathroom-class scenes actually take (pallas packet traversal
-    # on TPU, XLA while-loop traversal otherwise).  Bigger spp chunks pay
-    # here: more rays per 6-D Morton cell => tighter traversal packets
-    # (27 -> 34 Mrays/s measured at chunk 4 -> 16 on v5e)
+    # BVH-path workload: >=50k-triangle displaced mesh in the box — what
+    # bathroom-class scenes actually cost.  This is the headline scene for
+    # the roofline: the toy box uses O(10) analytic prims.
     extra = {}
+    vs_baseline = None
     try:
         bvh_chunk = int(os.environ.get("BENCH_SPP_CHUNK_BVH", 16))
         bvh_chunks = max(1, spp_total // bvh_chunk // 4)
-        bvh_mrays, n_tris = _bench_scene(
+        bvh_mrays, bvh_scene, _ = _bench_scene(
             cornell_box_mesh(res=res, spp=bvh_chunk, max_depth=max_depth),
             res, bvh_chunk, bvh_chunks, max_depth)
         extra = {"bvh_scene_mrays": round(bvh_mrays, 2),
-                 "bvh_scene_tris": n_tris}
+                 "bvh_scene_tris": int(bvh_scene.faces.shape[0])}
+        rl = _roofline(bvh_scene, res, max_depth)
+        if rl:
+            extra["roofline"] = rl
+            extra["pct_of_roofline_bvh"] = round(
+                100.0 * bvh_mrays / rl["sol_mrays"], 2)
+            vs_baseline = round(bvh_mrays / rl["sol_mrays"], 4)
     except Exception as e:    # never lose the primary metric
         extra = {"bvh_scene_error": str(e)[:200]}
 
     print(json.dumps({
-        "metric": f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp d{max_depth}",
+        "metric": (f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp "
+                   f"d{max_depth} (physical rays)"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": None,
+        # north star is speed-of-light Mrays/s (BASELINE.json); the
+        # reference publishes no numbers, so vs_baseline = fraction of the
+        # first-principles HBM roofline on the BVH workload
+        "vs_baseline": vs_baseline,
+        "value_legacy_3x": round(mrays * 3, 2),
         **extra,
     }))
 

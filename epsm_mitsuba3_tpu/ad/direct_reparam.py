@@ -72,20 +72,23 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
     smooth = B.has_flag(bsdf_flags, B.BSDFFlags.Smooth) & active
 
     # --- emitter sampling ---------------------------------------------
+    from ..ops.gather import take_rows
     for k in range(emitter_samples):
         sampler, s2 = smp.next_2d(sampler)
-        ds, _ = E.sample_direction(
-            scene_d.emitters, scene.static.emitter_kinds,
+        ds, em_w_att = E.sample_direction(
+            scene.emitters, scene.static.emitter_kinds,
             jax.lax.stop_gradient(si.p), s2,
-            scene_d.vertices, scene_d.faces, scene_d.em_faces,
-            scene_d.textures, scene.static.env_texture)
+            scene.vertices, scene.faces, scene.em_faces,
+            scene.textures, scene.static.env_texture)
         a_em = smooth & (ds.pdf != 0.0)
         sh = jax.tree.map(jax.lax.stop_gradient,
                           si.spawn_ray(ds.d)).replace(maxt=ds.dist * (1 - 1e-3))
         occ = scene_d.ray_test(sh)
         a_em = a_em & ~occ
         # attached emitter weight: d = normalize(ds.p - si.p), pdf detached
-        # (reference :160-165 "Re-compute attached weight_em")
+        # (reference :160-165 "Re-compute attached weight_em"); non-area
+        # kinds fall back to the attached sample_direction weight (their
+        # differentiable evaluation — eval_hit is area-only)
         d_att = m.normalize(ds.p - si.p)
         val_em = E.eval_hit(scene.emitters, ds.emitter_index,
                             m.dot(-d_att, ds.n))
@@ -93,6 +96,11 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
             (ds.pdf > 0.0)[..., None],
             val_em / jax.lax.stop_gradient(jnp.maximum(ds.pdf, 1e-20))[..., None],
             0.0)
+        kind_row = take_rows(scene.emitters["kind"][:, None],
+                             jnp.maximum(ds.emitter_index, 0))[..., 0]
+        is_area_kind = ((kind_row == E.KIND_AREA)
+                        | (kind_row == E.KIND_DIRECTIONALAREA))
+        em_weight = jnp.where(is_area_kind[..., None], em_weight, em_w_att)
         # reparameterized shadow ray from the FollowShape receiver
         ray_em = Ray.make(si_follow.p,
                           m.normalize(jax.lax.stop_gradient(ds.p)
@@ -189,22 +197,40 @@ def _make_render(sensor_idx, spp, emitter_samples, bsdf_samples,
 
     def bwd(res, g_img):
         scene, seed = res
+        from ..models import films
+        from ..models import sensors as S
         sensor = scene.sensors[sensor_idx]
         n = sensor.width * sensor.height * spp
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
-        dL = prb.film_adjoint(g_img, jax.lax.stop_gradient(pos),
-                              jax.lax.stop_gradient(weight), sensor, spp, n)
-
         diff0, rest, treedef = prb.split_scene(scene)
+        # smooth filter mandatory for moving splat positions: the reference
+        # *raises* on box (common.py:378-386); we fall back to gaussian
+        rfilter = "gaussian" if sensor.rfilter == "box" else sensor.rfilter
 
         def scalar_obj(diff):
             sc = prb.merge_scene(diff, rest, treedef)
-            L = _attached_L(sc, sampler,
-                            jax.tree.map(jax.lax.stop_gradient, ray), n,
-                            jnp.asarray(seed, jnp.uint32),
-                            emitter_samples, bsdf_samples, rp_cfg)
-            return jnp.sum(L * dL)
+            # attached sensor + identical-stream rays: camera-pose gradients
+            # flow through the attached ray origin (warp field V_direct =
+            # normalize(si.p - ray.o)) and the film re-projection below
+            sensor_att = sc.sensors[sensor_idx]
+            smp2 = smp.seed(seed, n, kind=sc.static.sampler_kind, spp=spp)
+            smp2, ray_att, _, _ = common.sample_rays(sensor_att, smp2, spp)
+            L, d0, det0 = _attached_L(
+                sc, smp2, ray_att, n, jnp.asarray(seed, jnp.uint32),
+                emitter_samples, bsdf_samples, rp_cfg)
+            # camera det/warp at the film level: attached splat positions
+            # (fake unit-distance interaction re-projected through the
+            # attached sensor, common.py:406-417) + divergence det in the
+            # weight channel (block.put(..., weight=det), common.py:261-266)
+            pos_att = S.point_to_film(sensor_att, ray_att.o + d0)
+            if pos_att is None:
+                pos_att = jax.lax.stop_gradient(pos)
+            value = L * jax.lax.stop_gradient(weight)
+            data, w = films.splat(pos_att, value, sensor.width,
+                                  sensor.height, rfilter, extra_weight=det0)
+            img = films.develop(data, w)
+            return jnp.sum(img * g_img)
 
         grads = jax.grad(scalar_obj)(diff0)
         leaves = []
@@ -310,11 +336,13 @@ def _make_emission_render(sensor_idx, spp, rp_items=()):
 
         def scalar_obj(diff):
             sc = prb.merge_scene(diff, rest, treedef)
-            L, d0, det0 = _emission_L(
-                sc, jax.tree.map(jax.lax.stop_gradient, ray), n, seed,
-                rp_cfg, attached=True)
             from ..models import sensors as S
-            pos_att = S.project_to_film(sensor, d0)
+            sensor_att = sc.sensors[sensor_idx]
+            smp2 = smp.seed(seed, n, kind=sc.static.sampler_kind, spp=spp)
+            smp2, ray_att, _, _ = common.sample_rays(sensor_att, smp2, spp)
+            L, d0, det0 = _emission_L(sc, ray_att, n, seed, rp_cfg,
+                                      attached=True)
+            pos_att = S.point_to_film(sensor_att, ray_att.o + d0)
             if pos_att is None:
                 pos_att = jax.lax.stop_gradient(pos)
             # value channel L*weight*det, weight channel det — the develop

@@ -134,6 +134,18 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
         em_val / jax.lax.stop_gradient(jnp.maximum(ds.pdf, 1e-20))[..., None],
         0.0,
     )
+    # eval_hit covers shape-attached (area) kinds only; for every other
+    # emitter kind (constant/envmap/point/spot/...) the attached weight from
+    # sample_direction IS the differentiable evaluation (the reference's
+    # eval_emitter_direction dispatches per kind, scene.cpp:226-286) —
+    # without this the NEE leg's radiance/intensity AND downstream bsdf
+    # gradients vanish for non-area lights.
+    from ..ops.gather import take_rows
+    kind_row = take_rows(scene.emitters["kind"][:, None],
+                         jnp.maximum(ds.emitter_index, 0))[..., 0]
+    is_area_kind = ((kind_row == E.KIND_AREA)
+                    | (kind_row == E.KIND_DIRECTIONALAREA))
+    em_weight = jnp.where(is_area_kind[..., None], em_weight, em_weight_det)
     em_weight = jnp.where((active_em & occl_mask)[..., None], em_weight, 0.0)
     wo = si.to_local(jax.lax.stop_gradient(d_att))
     bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
@@ -215,14 +227,17 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
             rp_em = None
             if reparam_cfg is not None:
                 from .reparam import reparameterize_ray
-                num_rays = int(reparam_cfg.get("num_rays", 4))
+                num_rays = int(reparam_cfg.get("num_rays", 16))
                 kappa = float(reparam_cfg.get("kappa", 1e5))
                 exponent = float(reparam_cfg.get("exponent", 3.0))
-                rs = smp.seed(it * jnp.uint32(0x9E3779B9) + jnp.uint32(17),
-                              n)
+                antithetic = bool(reparam_cfg.get("antithetic", True))
+                salt = int(reparam_cfg.get("_salt", 0))
+                rs = smp.seed(it * jnp.uint32(0x9E3779B9)
+                              + jnp.uint32(17 + salt), n)
                 _, d_in, det = reparameterize_ray(
                     sc, rs, Ray.make(ray_o, ray_d), active,
                     num_rays=num_rays, kappa=kappa, exponent=exponent,
+                    antithetic=antithetic,
                 )
                 # camera vertex: the divergence determinant belongs to the
                 # *film* integral and is applied there with attached
@@ -230,13 +245,18 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
                 # ray_reparam_det[first_vertex]=1); the warped direction
                 # stays attached for the first-hit emission term
                 det = jnp.where(it == 0, 1.0, det)
+                if reparam_cfg.get("_no_main_det"):
+                    det = jax.lax.stop_gradient(det)
 
                 def rp_em(em_ray, a_em):
                     rs2 = smp.seed(it * jnp.uint32(0x9E3779B9)
-                                   + jnp.uint32(29), n)
+                                   + jnp.uint32(29 + salt), n)
                     _, d_e, det_e = reparameterize_ray(
                         sc, rs2, em_ray, a_em,
-                        num_rays=num_rays, kappa=kappa, exponent=exponent)
+                        num_rays=num_rays, kappa=kappa, exponent=exponent,
+                        antithetic=antithetic)
+                    if reparam_cfg.get("_no_em_det"):
+                        det_e = jax.lax.stop_gradient(det_e)
                     return d_e, det_e
             lo = _local_contrib(
                 sc, ray_o, d_in, _pi_of(rec["si"]),
@@ -278,18 +298,19 @@ def _pi_of(si):
 
 @functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
                                              "rr_depth", "reparam",
-                                             "execution"))
+                                             "execution", "rp_items"))
 def render_prb(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
                max_depth: int = 6, rr_depth: int = 5, reparam: bool = False,
-               execution: str = "megakernel"):
+               execution: str = "megakernel", rp_items=()):
     fn = _make_render(sensor_idx, spp, max_depth, rr_depth, reparam,
-                      execution)
+                      execution, rp_items)
     return fn(scene, jnp.asarray(seed, jnp.uint32))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
-                 execution="megakernel"):
+                 execution="megakernel", rp_items=()):
+    rp_cfg = dict(rp_items)
     @jax.custom_vjp
     def render_fn(scene, seed):
         return _primal(scene, seed)
@@ -334,10 +355,10 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
         dL = film_adjoint(g_img, pos, weight, sensor, spp, n)
         grads = prb_backward(
             scene, sampler, ray, dL, L_total, max_depth, rr_depth,
-            reparam_cfg={} if reparam else None, trace=trace)
+            reparam_cfg=rp_cfg if reparam else None, trace=trace)
         # assemble scene cotangent
         diff0, rest, treedef = split_scene(scene)
-        if reparam:
+        if reparam and not rp_cfg.get("_no_cam"):
             # camera-vertex reparam at the film level: attached splatting
             # positions (re-projected warped directions) + divergence det
             # in the weight channel — Σ(f L det)/Σ(f det) (the reference's
@@ -356,10 +377,25 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
 
             def cam_obj(diff):
                 sc = merge_scene(diff, rest, treedef)
+                # attached sensor + identical-stream camera rays: sensor-pose
+                # gradients enter via the attached ray origin in the warp
+                # and via the film re-projection (common.py:402-417)
+                sensor_att = sc.sensors[sensor_idx]
+                smp2 = smp.seed(seed, n, kind=sc.static.sampler_kind,
+                                spp=spp)
+                smp2, ray_att, _, _ = common.sample_rays(sensor_att, smp2,
+                                                         spp)
                 rs = smp.seed(jnp.asarray(seed, jnp.uint32)
                               * jnp.uint32(0x9E3779B9) + jnp.uint32(23), n)
-                _, d0, det0 = _rp(sc, rs, ray_det, ones)
-                pos_att = S.project_to_film(sensor, d0)
+                _, d0, det0 = _rp(
+                    sc, rs, ray_att, ones,
+                    num_rays=int(rp_cfg.get("num_rays", 16)),
+                    kappa=float(rp_cfg.get("kappa", 1e5)),
+                    exponent=float(rp_cfg.get("exponent", 3.0)),
+                    antithetic=bool(rp_cfg.get("antithetic", True)))
+                # fake interaction at unit distance along the warped ray,
+                # re-projected through the attached sensor
+                pos_att = S.point_to_film(sensor_att, ray_att.o + d0)
                 if pos_att is None:
                     pos_att = jax.lax.stop_gradient(pos)
                 data, w = films_mod.splat(pos_att, value, sensor.width,

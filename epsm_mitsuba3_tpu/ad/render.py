@@ -31,6 +31,25 @@ def register_integrator(name: str, fn) -> None:
     _CUSTOM_INTEGRATORS[name] = fn
 
 
+def _rp_items(cfg):
+    """Reparameterization knobs as a hashable static tuple; accepts both the
+    reference property names (prb_reparam.py:233-250 reparam_rays /
+    reparam_kappa / reparam_exp) and the short internal names."""
+    alias = {"reparam_rays": "num_rays", "reparam_kappa": "kappa",
+             "reparam_exp": "exponent",
+             "num_rays": "num_rays", "kappa": "kappa",
+             "exponent": "exponent"}
+    out = {}
+    for k_, v_ in cfg.items():
+        # debug/diagnostic knobs (channel isolation + aux-stream salting)
+        if k_ in ("_salt", "_no_em_det", "_no_main_det", "_no_cam"):
+            out[k_] = float(v_)
+    for k_, v_ in cfg.items():
+        if k_ in alias:
+            out[alias[k_]] = float(v_)
+    return tuple(sorted(out.items()))
+
+
 def _integrator_cfg(scene, integrator: Optional[dict]):
     cfg = dict(scene.static.integrator) if scene.static.integrator else {}
     if integrator:
@@ -97,11 +116,9 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
         # camera-ray-only reparam of directly-visible emission
         # (emission_reparam.py:117-126)
         from . import direct_reparam as dr_mod
-        rp_items = tuple(sorted(
-            (k_, cfg[k_]) for k_ in ("num_rays", "kappa", "exponent")
-            if k_ in cfg))
         return dr_mod.render_emission_reparam(
-            scene, seed=seed, sensor_idx=sensor, spp=spp, rp_items=rp_items)
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            rp_items=_rp_items(cfg))
     if kind in ("path", "prb", "prb_basic", "prb_reparam"):
         from . import prb
         return prb.render_prb(
@@ -110,6 +127,7 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             rr_depth=int(cfg.get("rr_depth", 5)),
             reparam=kind.endswith("reparam"),
             execution=str(cfg.get("execution", "megakernel")),
+            rp_items=_rp_items(cfg),
         )
     if kind in ("manifold", "manifold_caustic"):
         from ..integrators import epsm
@@ -127,14 +145,11 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             bsdf_samples=int(cfg.get("bsdf_samples", 1)))
     if kind == "direct_reparam":
         from . import direct_reparam as dr_mod
-        rp_items = tuple(sorted(
-            (k_, cfg[k_]) for k_ in ("num_rays", "kappa", "exponent")
-            if k_ in cfg))
         return dr_mod.render_direct_reparam(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             emitter_samples=int(cfg.get("emitter_samples", 1)),
             bsdf_samples=int(cfg.get("bsdf_samples", 1)),
-            rp_items=rp_items)
+            rp_items=_rp_items(cfg))
     if kind == "depth":
         from ..integrators import aov
         return aov.render_depth(scene, seed=seed, sensor_idx=sensor, spp=spp)

@@ -69,9 +69,17 @@ def square_to_von_mises_fisher(sample, kappa):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
 
 
-def _sample_warp_field(scene, sample, ray: Ray, d_frame, kappa, exponent):
-    """One auxiliary ray; returns (Z, dZ, V, div_lhs) (reparam.py:10-124)."""
+def _sample_warp_field(scene, sample, ray: Ray, d_frame, kappa, exponent,
+                       flip: bool = False):
+    """One auxiliary ray; returns (Z, dZ, V, div_lhs) (reparam.py:10-124).
+
+    ``flip``: antithetic variant — negate the tangential components of the
+    vMF sample (reference reparam.py:84-86), pairing each aux ray with its
+    mirror to cancel the first-order noise of the warp-field estimate."""
     omega_local = square_to_von_mises_fisher(sample, kappa)
+    if flip:
+        omega_local = omega_local * jnp.asarray([-1.0, -1.0, 1.0],
+                                                omega_local.dtype)
     s_, t_ = d_frame
     d_det = jax.lax.stop_gradient(ray.d)
     aux_d = (s_ * omega_local[..., 0:1] + t_ * omega_local[..., 1:2]
@@ -102,20 +110,36 @@ def _sample_warp_field(scene, sample, ray: Ray, d_frame, kappa, exponent):
 
 
 def reparameterize_ray(scene, sampler, ray: Ray, active,
-                       num_rays: int = 4, kappa: float = 1e5,
-                       exponent: float = 3.0):
+                       num_rays: int = 16, kappa: float = 1e5,
+                       exponent: float = 3.0, antithetic: bool = True):
     """Returns (sampler, d_reparam, det): primal (ray.d, 1); gradients carry
-    the warp field / divergence (reparam.py:410-430 reparameterize_rays)."""
+    the warp field / divergence (reparam.py:410-430 reparameterize_rays).
+
+    ``antithetic``: consecutive aux rays share one vMF sample with mirrored
+    tangential components (reference ``reparam_antithetic``)."""
     d_det = jax.lax.stop_gradient(ray.d)
     s_, t_ = m.coordinate_system(d_det)
     Z = 0.0
     dZ = 0.0
     V = 0.0
     div_lhs = 0.0
-    for _ in range(num_rays):
-        sampler, s2 = smp.next_2d(sampler)
+    s2 = None
+    pairs = (num_rays + 1) // 2 if antithetic else num_rays
+    draw = 0
+    for i in range(num_rays):
+        if not antithetic or (i % 2 == 0):
+            sampler, s2 = smp.next_2d(sampler)
+            # stratify the vMF radius variable across the aux loop: the
+            # heavy tail of the harmonic weights (w ~ B^-exponent near
+            # silhouettes) makes the warp estimate dominated by rare
+            # wide-radius draws; jittered strata cut that variance at
+            # zero cost (the reference draws i.i.d., reparam.py:189)
+            sy = (jnp.float32(draw) + s2[..., 1]) / jnp.float32(pairs)
+            s2 = jnp.stack([s2[..., 0], sy], -1)
+            draw += 1
         Z_i, dZ_i, V_i, div_i = _sample_warp_field(
-            scene, s2, ray, (s_, t_), kappa, exponent)
+            scene, s2, ray, (s_, t_), kappa, exponent,
+            flip=antithetic and (i % 2 == 1))
         Z = Z + Z_i
         dZ = dZ + dZ_i
         V = V + V_i
@@ -125,7 +149,12 @@ def reparameterize_ray(scene, sampler, ray: Ray, active,
     V_theta = V * inv_Z[..., None]
     div = (div_lhs - m.dot(V_theta, jax.lax.stop_gradient(dZ))) * inv_Z
 
-    d_r = I.replace_grad(d_det, V_theta)
+    # direction = normalize(ray.d + V_theta) (reference backward_symbolic,
+    # reparam.py:283): passes an *attached* incoming ray.d through (sensor
+    # pose gradients) and projects the warp-field derivative onto the
+    # tangent plane; primal pinned to the detached input direction.
+    dir_att = m.normalize(ray.d + V_theta - jax.lax.stop_gradient(V_theta))
+    d_r = I.replace_grad(d_det, dir_att)
     det = I.replace_grad(jnp.ones_like(div), div)
     d_r = jnp.where(active[..., None], d_r, d_det)
     det = jnp.where(active, det, 1.0)

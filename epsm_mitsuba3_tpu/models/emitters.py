@@ -151,9 +151,11 @@ def sample_direction(
     ds_out = ds_out.replace(
         pdf=ds_out.pdf * pick_pdf, emitter_index=em_idx.astype(jnp.int32)
     )
-    # weight = radiance / pdf (scene.cpp:265-270)
-    w = spec_out / jnp.maximum(ds_out.pdf, 1e-20)[..., None]
-    w = jnp.where((ds_out.pdf > 0.0)[..., None], w, 0.0)
+    # weight = radiance / pdf (scene.cpp:265-270); double-where so the
+    # zero-pdf branch contributes no (possibly NaN/inf) cotangent
+    ok = (ds_out.pdf > 0.0)[..., None]
+    pdf_safe = jnp.where(ok, ds_out.pdf[..., None], 1.0)
+    w = jnp.where(ok, spec_out / pdf_safe, 0.0)
     return ds_out, w
 
 
@@ -205,15 +207,24 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
 
     dvec = pos - ref_p
     dist2 = m.squared_norm(dvec)
-    dist = jnp.sqrt(dist2)
+    # grad-safe sqrt: sampling the emitter from its OWN surface (emitter-on-
+    # black scenes) can make dist2 ~ 0, and d(sqrt)/d(dist2) -> inf there;
+    # the NaN then leaks through every downstream jnp.where (the masked
+    # branch's cotangent is still evaluated)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
     d = dvec / jnp.maximum(dist, 1e-20)[..., None]
     cos_em = m.dot(-d, nrm)
     # solid-angle pdf = dist^2 / (cos * area_total)
     from ..ops.gather import take_rows
     area = take_rows(total_area[:, None], em_idx)[..., 0]
-    pdf = jnp.where(
-        cos_em > 1e-7, dist2 / jnp.maximum(cos_em * area, 1e-20), 0.0
-    )
+    # double-where guard: the untaken branch of a single where is still
+    # differentiated, and for grazing lanes (cos_em ~ 1e-19) the vjp of
+    # dist2/denom squares denom below the f32 subnormal range -> inf/NaN
+    # that then poisons every downstream jnp.where (this is the reference's
+    # non-issue: its NEE sampling is fully detached, scene.cpp:226)
+    grazing_ok = cos_em > 1e-6
+    denom_safe = jnp.where(grazing_ok, cos_em * area, 1.0)
+    pdf = jnp.where(grazing_ok, dist2 / denom_safe, 0.0)
     spec = jnp.where((cos_em > 0.0)[..., None], p_em["radiance"], 0.0)
     ds = DirectionSample(
         p=pos, n=nrm, uv=b, d=d, dist=dist, pdf=pdf,

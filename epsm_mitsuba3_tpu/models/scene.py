@@ -1074,6 +1074,8 @@ class SceneParameters:
                 self[k] = v
         sc = self.scene
         verts_changed = False
+        verts_shapes = []      # shapes whose positions changed
+        norms_shapes = []      # shapes whose normals were set explicitly
         for key, value in self._pending.items():
             kind = self._resolve(key)
             if kind[0] == "verts":
@@ -1081,10 +1083,12 @@ class SceneParameters:
                 value = jnp.asarray(value, sc.vertices.dtype).reshape(c, 3)
                 sc = sc.replace(vertices=sc.vertices.at[s : s + c].set(value))
                 verts_changed = True
+                verts_shapes.append(kind[1])
             elif kind[0] == "norms":
                 s, c = sc.static.vertex_ranges[kind[1]]
                 value = jnp.asarray(value, sc.normals.dtype).reshape(c, 3)
                 sc = sc.replace(normals=sc.normals.at[s : s + c].set(value))
+                norms_shapes.append(kind[1])
             elif kind[0] == "bsdf":
                 b = int(sc.shape_bsdf[kind[1]])
                 tab = dict(sc.bsdfs)
@@ -1110,6 +1114,22 @@ class SceneParameters:
                 else:
                     sc = sc.replace(sph_data=sc.sph_data.at[s, 3].set(
                         jnp.asarray(value, sc.sph_data.dtype).reshape(())))
+        if verts_changed:
+            # differentiable vertex-normal recompute for the moved shapes
+            # (mesh.cpp:85-87 parameters_changed -> recompute_vertex_normals;
+            # this is the path position gradients take into the shading
+            # frame).  Shapes whose normals were set explicitly in the same
+            # update keep them (the glassslab normal-field use case).
+            from ..ops import normals as nrm_mod
+            import numpy as _np
+            rows = _np.zeros((sc.vertices.shape[0],), bool)
+            for si_ in verts_shapes:
+                if si_ in norms_shapes:
+                    continue
+                s, c = sc.static.vertex_ranges[si_]
+                rows[s:s + c] = True
+            if rows.any():
+                sc = nrm_mod.refresh_smooth_normals(sc, jnp.asarray(rows))
         if verts_changed and sc.bvh is not None:
             # accel refit (params.update() analog, util.py:288-346)
             from ..ops import bvh as bvh_mod

@@ -173,6 +173,19 @@ def _sample_batch(sensor: Sensor, pos01: jnp.ndarray):
     return ray, jnp.ones(d.shape[:-1] + (3,), d.dtype)
 
 
+def point_to_film(sensor: Sensor, p_world: jnp.ndarray) -> jnp.ndarray:
+    """World POINT -> continuous film position, differentiable w.r.t. both
+    the point and the sensor pose (``sensor.sample_direction`` analog used
+    by the reference's camera-ray reparameterization, common.py:406-417:
+    ``it.p = ray.o + reparam_d`` re-projected through the attached sensor).
+    Camera *translation* gradients only exist through this path — a pure
+    direction projection is translation-invariant."""
+    if sensor.kind not in ("perspective", "thinlens"):
+        return None
+    o = sensor.to_world[:3, 3]
+    return project_to_film(sensor, p_world - o)
+
+
 def project_to_film(sensor: Sensor, d_world: jnp.ndarray) -> jnp.ndarray:
     """World direction -> continuous film position in pixels (the
     perspective inverse of ``sample_ray_differential``; the reference gets

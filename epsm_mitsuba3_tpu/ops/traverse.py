@@ -147,6 +147,81 @@ def _traverse(bvh, vertices, faces, ray: Ray, any_hit: bool):
     return t_best, uv, prim, valid, occluded
 
 
+def traverse_stats(bvh, vertices, faces, ray: Ray):
+    """Per-ray traversal work counters for the first-principles roofline
+    (bench.py): returns (mean node pops, mean leaf-triangle tests) over the
+    wavefront.  Runs the exact closest-hit traversal loop with two extra
+    counters so the byte model matches what the kernel actually reads.
+    """
+    o = jax.lax.stop_gradient(ray.o)
+    d = jax.lax.stop_gradient(ray.d)
+    verts = jax.lax.stop_gradient(vertices)
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                            jnp.where(d >= 0, 1e-12, -1e-12))
+    lane = jnp.arange(n)
+    packed = pack_nodes(bvh)
+    p0 = verts[faces[:, 0]]
+    p1 = verts[faces[:, 1]]
+    p2 = verts[faces[:, 2]]
+    tri9 = jnp.concatenate([p0, p1, p2], axis=-1)[bvh.order]
+
+    stack = jnp.zeros((n, STACK_SIZE), jnp.int32)
+    sp = jnp.ones((n,), jnp.int32)
+    t_best = jnp.full((n,), jnp.inf)
+    slot_best = jnp.full((n,), -1, jnp.int32)
+    pops = jnp.zeros((n,), jnp.int32)
+    tris = jnp.zeros((n,), jnp.int32)
+
+    def cond(st):
+        return jnp.any(st[1] > 0)
+
+    def body(st):
+        stack, sp, t_best, slot_best, pops, tris = st
+        active = sp > 0
+        spm = jnp.maximum(sp - 1, 0)
+        node = stack[lane, spm]
+        sp = jnp.where(active, spm, sp)
+        rec = packed[node]
+        is_leaf = (rec[:, 2] > 0.5) & active
+        is_inner = (rec[:, 2] <= 0.5) & active
+        pops = pops + active.astype(jnp.int32)
+        start = rec[:, 0].astype(jnp.int32)
+        count = rec[:, 1].astype(jnp.int32)
+        tris = tris + jnp.where(is_leaf, jnp.minimum(count, LEAF_SIZE), 0)
+        for j in range(LEAF_SIZE):
+            slot = jnp.clip(start + j, 0, tri9.shape[0] - 1)
+            tri = tri9[slot]
+            t, u, v, hit = I.moeller_trumbore(
+                o, d, tri[:, 0:3], tri[:, 3:6], tri[:, 6:9])
+            hit = hit & is_leaf & (j < count) & (t > 1e-6) & (t < t_best)
+            t_best = jnp.where(hit, t, t_best)
+            slot_best = jnp.where(hit, slot, slot_best)
+        hit_l, tl = _slab(o, inv_d, rec[:, 3:6], rec[:, 6:9], t_best)
+        hit_r, tr = _slab(o, inv_d, rec[:, 9:12], rec[:, 12:15], t_best)
+        hit_l = hit_l & is_inner
+        hit_r = hit_r & is_inner
+        l = rec[:, 0].astype(jnp.int32)
+        r = rec[:, 1].astype(jnp.int32)
+        l_near = tl <= tr
+        first = jnp.where(l_near, l, r)
+        second = jnp.where(l_near, r, l)
+        hit_first = jnp.where(l_near, hit_l, hit_r)
+        hit_second = jnp.where(l_near, hit_r, hit_l)
+        slot_far = jnp.where(hit_second, sp, -1)
+        stack = stack.at[lane, slot_far].set(second, mode="drop")
+        sp = sp + hit_second.astype(jnp.int32)
+        slot_near = jnp.where(hit_first, sp, -1)
+        stack = stack.at[lane, slot_near].set(first, mode="drop")
+        sp = jnp.minimum(sp + hit_first.astype(jnp.int32), STACK_SIZE)
+        return stack, sp, t_best, slot_best, pops, tris
+
+    st = (stack, sp, t_best, slot_best, pops, tris)
+    _, _, _, _, pops, tris = jax.lax.while_loop(cond, body, st)
+    return (jnp.mean(pops.astype(jnp.float32)),
+            jnp.mean(tris.astype(jnp.float32)))
+
+
 def bvh_ray_intersect(scene, ray: Ray) -> PreliminaryIntersection:
     t, uv, prim, valid, _ = _traverse(scene.bvh, scene.vertices, scene.faces,
                                       ray, any_hit=False)

@@ -49,8 +49,12 @@ def test_reparam_recovers_silhouette_gradient():
     wx = jnp.linspace(0, 1, 24)[None, :, None]
 
     def loss_dx(dx, kind):
+        # spp must be high enough for the warped-area estimator: the
+        # silhouette signal lives on the ~1/sqrt(kappa)-wide sliver of lanes
+        # whose shadow ray grazes the blocker edge (the reference's own
+        # occluder configs use spp 2048-12000, test_ad_integrators.py:470-474)
         sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
-        img = mi.render(sc, spp=16, seed=0,
+        img = mi.render(sc, spp=64, seed=0,
                         integrator={"type": kind, "max_depth": 2})
         return jnp.sum(img * wx)
 
@@ -81,7 +85,7 @@ def test_direct_reparam_shadow_gradient():
 
     def loss_dx(dx, kind):
         sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
-        img = mi.render(sc, spp=16, seed=0, integrator={"type": kind})
+        img = mi.render(sc, spp=64, seed=0, integrator={"type": kind})
         return jnp.sum(img * wx)
 
     def loss_hi(dx):
@@ -137,7 +141,7 @@ def test_emission_reparam_moving_emitter():
 
     def loss_dx(dx, kind):
         sc = scene0.replace(vertices=scene0.vertices.at[s:s + c, 0].add(dx))
-        img = mi.render(sc, spp=16, seed=0, integrator={"type": kind})
+        img = mi.render(sc, spp=64, seed=0, integrator={"type": kind})
         return jnp.sum(img * wx)
 
     def loss_hi(dx):
