@@ -38,7 +38,7 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
                 emitter_samples: int, bsdf_samples: int, rp_cfg: dict):
     """Fully-attached direct-illumination estimator, RNG-identical to
     ``integrators.direct.sample_direct`` (the primal)."""
-    num_rays = int(rp_cfg.get("num_rays", 8))
+    num_rays = int(rp_cfg.get("num_rays", 16))
     kappa = float(rp_cfg.get("kappa", 1e5))
     exponent = float(rp_cfg.get("exponent", 3.0))
     scene_d = jax.lax.stop_gradient(scene)

@@ -93,10 +93,15 @@ def _sample_warp_field(scene, sample, ray: Ray, d_frame, kappa, exponent,
     V_direct = jnp.where(hit[..., None],
                          m.normalize(si.p - ray.o), aux_d)
 
-    # detached weights
+    # detached weights.  NB the closed-form inverse density must match THIS
+    # file's square_to_von_mises_fisher convention: z = 1 + log(sy +
+    # (1-sy)e^{-2k})/k maps sy->1 ON-axis, so e^{k(1-z)} = 1/(sy +
+    # (1-sy)e^{-2k}).  (The reference's formula, reparam.py:113, assumes
+    # its warp's opposite convention — copying it verbatim inverts the
+    # harmonic weights: on-axis aux rays got density e^{2k}.)
     B = jax.lax.stop_gradient(boundary_test(scene, si, aux_d))
     sy = jnp.clip(sample[..., 1], 1e-7, 1.0 - 1e-7)
-    inv_vmf_density = 1.0 / (sy * jnp.exp(-2.0 * kappa) + 1.0 - sy)
+    inv_vmf_density = 1.0 / (sy + (1.0 - sy) * jnp.exp(-2.0 * kappa))
     w_denom = inv_vmf_density - 1.0 + B
     w_denom_rcp = jnp.where(w_denom > 1e-4, 1.0 / jnp.maximum(w_denom, 1e-4),
                             0.0)

@@ -156,3 +156,59 @@ def test_emission_reparam_moving_emitter():
         lambda dx: loss_dx(dx, "emission_reparam"))(jnp.asarray(0.0)))
     assert np.sign(g_rp) == np.sign(fd)
     assert 0.3 * abs(fd) < abs(g_rp) < 3.0 * abs(fd), (g_rp, fd)
+
+
+def test_warp_det_edge_flux_analytic():
+    """Regression test for the vMF inverse-density convention (round 3): the
+    warp divergence det must reproduce the analytic boundary flux of a
+    translating edge.  Setup: a rectangle blocker at z=1 translating in x;
+    I(dx) = mean over fixed rays of [visible * g]; dI/dx has the closed form
+    -mean_y g(edge, y) * (edge length / domain area).  With the density
+    formula inverted (reference convention copied onto this file's opposite
+    sy-mapping), this estimator diverges from the analytic value as aux
+    rays increase instead of converging."""
+    from epsm_mitsuba3_tpu.ad.reparam import reparameterize_ray
+    from epsm_mitsuba3_tpu.models import samplers as smp
+    from epsm_mitsuba3_tpu.models.records import Ray
+
+    T_ = mi.ScalarTransform4f
+    scene0 = mi.load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 90.0,
+                   "to_world": T_.look_at(origin=[0, 0, 0], target=[0, 0, 1],
+                                          up=[0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 4, "height": 4},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "blocker": {"type": "rectangle",
+                    "to_world": T_.translate([0, 0, 1.0]).scale(0.5),
+                    "bsdf": {"type": "diffuse"}},
+    })
+    bi = list(scene0.static.shape_names).index("blocker")
+    s, c = scene0.static.vertex_ranges[bi]
+
+    n = 60_000
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (n,), minval=0.4, maxval=0.6)
+    y = jax.random.uniform(k2, (n,), minval=-0.4, maxval=0.4)
+    target = jnp.stack([x, y, jnp.ones((n,))], -1)
+    o = jnp.zeros((n, 3))
+    d = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    g = jnp.exp(-(x ** 2 + y ** 2))
+    # analytic: blocker covers x < 0.5+dx; d/ddx mean[visible*g]
+    #   = -mean_y g(0.5, y) * (0.8 / (0.2*0.8))
+    yy = jnp.linspace(-0.4, 0.4, 2001)
+    ana = -float(jnp.mean(jnp.exp(-(0.25 + yy ** 2)))) / 0.2
+
+    def I_est(dx):
+        sc = scene0.replace(
+            vertices=scene0.vertices.at[s:s + c, 0].add(dx))
+        occ = jax.lax.stop_gradient(sc.ray_test(Ray.make(o, d)))
+        rs = smp.seed(jnp.uint32(7), n)
+        _, _, det = reparameterize_ray(sc, rs, Ray.make(o, d),
+                                       jnp.ones((n,), bool),
+                                       num_rays=16, kappa=1e5)
+        return jnp.mean(jnp.where(occ, 0.0, g) * det)
+
+    grad = float(jax.grad(I_est)(jnp.asarray(0.0)))
+    assert abs(grad - ana) < 0.25 * abs(ana), (grad, ana)
