@@ -60,6 +60,31 @@ def refresh_smooth_normals(scene, rows_mask: jnp.ndarray = None):
     return scene.replace(normals=new)
 
 
+def fold_normal_cotangent(scene, g_scene):
+    """Chain a normals cotangent back onto the vertices cotangent:
+    ``g.vertices += (d normals / d vertices)^T g.normals``.
+
+    A backward pass over raw scene leaves produces independent vertex and
+    normal cotangents; when positions are THE optimization variable (the
+    reference's ``params['*.vertex_positions']`` flow, mesh.cpp:85-87), the
+    shading normals are a *function* of the positions and their cotangent
+    must be pulled back.  Used by the distributed train step and the
+    optimization drivers."""
+    g_n = getattr(g_scene, "normals", None)
+    if g_n is None or not hasattr(g_n, "dtype"):
+        return g_scene
+    import numpy as _np
+    if isinstance(g_n, _np.ndarray):   # float0 placeholder — nothing flows
+        return g_scene
+
+    def norm_of(v):
+        return refresh_smooth_normals(scene.replace(vertices=v)).normals
+
+    _, vjp_fn = jax.vjp(norm_of, scene.vertices)
+    (g_extra,) = vjp_fn(g_n)
+    return g_scene.replace(vertices=g_scene.vertices + g_extra)
+
+
 def scene_with_vertices(scene, vertices: jnp.ndarray,
                         refit_accel: bool = True):
     """Differentiable vertex update: new positions + recomputed smooth

@@ -220,6 +220,11 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
             for g, r in zip(grads_list, rest)
         ]
         g_scene = jax.tree.unflatten(treedef, leaves)
+        # positions are the optimization variable: pull the shading-normal
+        # cotangent back onto the vertices (mesh.cpp:85-87 params.update()
+        # recompute path) so geometry gradients are nonzero under plain PRB
+        from ..ops import normals as nrm_mod
+        g_scene = nrm_mod.fold_normal_cotangent(scene, g_scene)
         return loss, g_scene
 
     return step(scene, img_ref, jnp.asarray(seed, jnp.uint32))

@@ -45,6 +45,13 @@ def test_dp_train_step(meshes):
     r8 = np.asarray(g8.bsdfs["reflectance"])
     assert np.abs(r1).max() > 0
     assert np.allclose(r1, r8, rtol=1e-4, atol=1e-6)
+    # geometry parameter: vertex-position cotangent must be nonzero
+    # (VERDICT r2 Weak #3 — the normals chain, ops/normals.py) and agree
+    # across mesh sizes
+    v1 = np.asarray(g1.vertices)
+    v8 = np.asarray(g8.vertices)
+    assert np.abs(v1).max() > 0
+    assert np.allclose(v1, v8, rtol=1e-4, atol=1e-6)
 
 
 def test_dp_manifold_backward(meshes):
