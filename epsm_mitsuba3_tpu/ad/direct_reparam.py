@@ -64,7 +64,8 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
     frac_bsdf = bsdf_samples / (emitter_samples + bsdf_samples)
 
     # directly-visible emitters / envmap (attached)
-    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                   uv=si.uv, kinds_present=scene.static.emitter_kinds)
     L = L + E.eval_env(scene.emitters, scene.static.emitter_kinds, d0,
                        ~si.valid, scene.textures, scene.static.env_texture)
 
@@ -91,7 +92,8 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
         # differentiable evaluation — eval_hit is area-only)
         d_att = m.normalize(ds.p - si.p)
         val_em = E.eval_hit(scene.emitters, ds.emitter_index,
-                            m.dot(-d_att, ds.n))
+                            m.dot(-d_att, ds.n),
+                            kinds_present=scene.static.emitter_kinds)
         em_weight = jnp.where(
             (ds.pdf > 0.0)[..., None],
             val_em / jax.lax.stop_gradient(jnp.maximum(ds.pdf, 1e-20))[..., None],
@@ -153,7 +155,9 @@ def _attached_L(scene, sampler, ray: Ray, n: int, seed,
         pi2 = scene_d.ray_intersect_preliminary(
             jax.tree.map(jax.lax.stop_gradient, ray2))
         si2 = I.compute_surface_interaction(scene, ray2, pi2, RayFlags.All)
-        le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2])
+        le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2],
+                        uv=si2.uv,
+                        kinds_present=scene.static.emitter_kinds)
         le = le + E.eval_env(scene.emitters, scene.static.emitter_kinds,
                              d_b, ~si2.valid, scene.textures,
                              scene.static.env_texture)
@@ -290,7 +294,8 @@ def _emission_L(scene, ray: Ray, n: int, seed, rp_cfg: dict, attached: bool):
     pi = scene_d.ray_intersect_preliminary(
         jax.tree.map(jax.lax.stop_gradient, ray))
     si = I.compute_surface_interaction(scene, ray_rep, pi, RayFlags.All)
-    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                   uv=si.uv, kinds_present=scene.static.emitter_kinds)
     L = L + E.eval_env(scene.emitters, scene.static.emitter_kinds, d0,
                        ~si.valid, scene.textures, scene.static.env_texture)
     return L, d0, det0

@@ -128,7 +128,8 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     # attached direction: d = normalize(ds.p - si.p) with attached si.p & ds.p
     d_att = m.normalize(ds.p - si.p)
     em_val = E.eval_hit(scene.emitters, ds.emitter_index,
-                        m.dot(-d_att, ds.n))
+                        m.dot(-d_att, ds.n),
+                        kinds_present=scene.static.emitter_kinds)
     em_weight = jnp.where(
         (ds.pdf > 0.0)[..., None],
         em_val / jax.lax.stop_gradient(jnp.maximum(ds.pdf, 1e-20))[..., None],

@@ -29,7 +29,8 @@ def sample_direct(scene, sampler, ray: Ray, emitter_samples: int = 1,
     frac_bsdf = bsdf_samples / (emitter_samples + bsdf_samples)
 
     # visible emitters
-    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    L = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                   uv=si.uv, kinds_present=scene.static.emitter_kinds)
     L = L + E.eval_env(scene.emitters, scene.static.emitter_kinds, ray.d,
                        ~si.valid, scene.textures, scene.static.env_texture)
 
@@ -62,7 +63,9 @@ def sample_direct(scene, sampler, ray: Ray, emitter_samples: int = 1,
                                   uv=si.uv, textures=scene.textures, vcolor=si.vcolor, pos=si.p)
         ray2 = si.spawn_ray(si.to_world(bs.wo))
         si2 = scene.ray_intersect(ray2)
-        le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2])
+        le = E.eval_hit(scene.emitters, si2.emitter_index, si2.wi[..., 2],
+                        uv=si2.uv,
+                        kinds_present=scene.static.emitter_kinds)
         le = le + E.eval_env(scene.emitters, scene.static.emitter_kinds,
                              ray2.d, ~si2.valid, scene.textures,
                              scene.static.env_texture)

@@ -59,7 +59,8 @@ def _emitter_hit_le(scene, si, ray_d, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
         scene.static.env_texture,
     )
     mis = mis_weight(prev_bsdf_pdf, ds_pdf)
-    le_surf = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    le_surf = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                         uv=si.uv, kinds_present=ek)
     le_surf = jnp.where((active & si.valid)[..., None], le_surf, 0.0)
     # escaped rays: environment emitters
     env_pdf = E.pdf_direction(

@@ -216,7 +216,8 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
         st.active & ~st.prev_delta, scene.textures,
         scene.static.env_texture)
     mis = mis_weight(st.prev_pdf, ds_pdf_hit)
-    le = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    le = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                    uv=si.uv, kinds_present=scene.static.emitter_kinds)
     le = jnp.where((st.active & si.valid & ~medium_scatter)[..., None],
                    le, 0.0)
     le_env = E.eval_env(scene.emitters, ek, st.ray_d,
@@ -390,7 +391,8 @@ def _vol_local_contrib(scene, rec: VolRecord, L_remaining):
     beta_det = jax.lax.stop_gradient(rec.beta_prev) * w_det
 
     # --- attached emission (emitter radiance / envmap) ---
-    le = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2])
+    le = E.eval_hit(scene.emitters, si.emitter_index, si.wi[..., 2],
+                    uv=si.uv, kinds_present=scene.static.emitter_kinds)
     le = jnp.where((rec.active & rec.pi_valid & ~ms)[..., None], le, 0.0)
     le_env = E.eval_env(scene.emitters, scene.static.emitter_kinds,
                         rec.ray_d, rec.active & ~rec.pi_valid & ~ms,
@@ -409,7 +411,8 @@ def _vol_local_contrib(scene, rec: VolRecord, L_remaining):
         pdf = rec.ds_pdf
 
     em_val = E.eval_hit(scene.emitters, rec.ds_emitter,
-                        m.dot(-rec.ds_d, rec.ds_n))
+                        m.dot(-rec.ds_d, rec.ds_n),
+                        kinds_present=scene.static.emitter_kinds)
     em_weight = jnp.where(
         (rec.ds_pdf > 0.0)[..., None],
         em_val / jax.lax.stop_gradient(

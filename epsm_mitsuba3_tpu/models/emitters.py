@@ -75,7 +75,12 @@ def triangle_areas(vertices, faces):
     p0 = vertices[faces[:, 0]]
     p1 = vertices[faces[:, 1]]
     p2 = vertices[faces[:, 2]]
-    return 0.5 * m.norm(jnp.cross(p1 - p0, p2 - p0))
+    # grad-safe sqrt: a DEGENERATE face anywhere in the mesh (pole fans,
+    # padding) has zero cross product, and d(sqrt)/d(0) = inf — the inf then
+    # turns a perfectly valid zero cotangent into NaN (0 * inf) and poisons
+    # every vertex gradient in the scene through the emitter-CDF chain
+    sn = m.squared_norm(jnp.cross(p1 - p0, p2 - p0))
+    return 0.5 * jnp.sqrt(jnp.maximum(sn, 1e-30))
 
 
 def area_emitter_data(vertices, faces, em_faces):
@@ -410,13 +415,39 @@ def register_emitter(name: str, *, sample_fn, pdf_fn=None,
 
     ``eval_hit_fn(row, wi_local_z, uv) -> (N,3)`` is ``Emitter::eval`` for
     custom emitters attached to scene shapes (BSDF-sampled direct hits);
-    omit it for shapeless emitters.
+    omit it for shapeless emitters.  ``uv`` is the hit's surface uv when the
+    caller has a SurfaceInteraction and ``None`` otherwise (NEE-side
+    re-evaluation) — textured custom emitters must handle ``uv=None``.
+
+    MIS-consistency contract (enforced): a shape-attached custom emitter
+    (``eval_hit_fn`` supplied) MUST also supply ``pdf_fn`` — NEE weights its
+    samples by ``mis_weight(ds.pdf, bsdf_pdf)`` while the BSDF-hit leg would
+    get full weight if ``pdf_direction`` returned 0 for this kind, so the two
+    strategies would sum to >1 and the image would be biased bright.
+    Conversely a SHAPELESS custom emitter (no ``eval_hit_fn``) must mark its
+    samples ``delta=True``: BSDF rays can never hit it (escaped rays are
+    evaluated only through the builtin constant/envmap ``eval_env`` path), so
+    NEE must take full weight — ``delta=True`` makes NEE-only unbiased, while
+    ``delta=False`` would MIS-downweight energy the BSDF leg can never
+    recover.
+
+    Differentiation note: under PRB the attached NEE radiance is recomputed
+    via ``eval_hit``, so differentiating a custom emitter's intensity
+    parameters requires an ``eval_hit_fn`` (mirroring the builtin point-light
+    limitation) — without one the primal is correct but the intensity
+    cotangent from the NEE term is zero.
 
     Registration is static (before tracing): the scene's static kind-set
     dispatch simply gains one more branch, so scenes can then use
     ``{"type": "<name>", ...}`` like any built-in.  Returns the kind id."""
     if name in KIND_NAMES:
         raise ValueError(f"emitter type '{name}' already registered")
+    if eval_hit_fn is not None and pdf_fn is None:
+        raise ValueError(
+            f"emitter type '{name}': eval_hit_fn without pdf_fn would "
+            "double-count — NEE MIS-downweights its samples against a "
+            "BSDF-hit leg whose pdf_direction would be 0 (full weight). "
+            "Shape-attached custom emitters require both hooks.")
     kind = _CUSTOM_KIND_BASE + sum(
         1 for k in _SAMPLE_FNS if k >= _CUSTOM_KIND_BASE)
     KIND_NAMES[name] = kind
@@ -478,9 +509,15 @@ def pdf_direction(
     return jnp.where(active & (hit_emitter_idx >= 0), pdf, 0.0)
 
 
-def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
+def eval_hit(table, si_emitter_idx, wi_local_z, uv=None, kinds_present=None):
     """Area emitter L on direct hit (area.cpp ``eval``): radiance if the
-    hit is on the emissive (front) side."""
+    hit is on the emissive (front) side.
+
+    ``kinds_present`` (the scene's static emitter-kind set) gates which
+    custom eval branches are traced: only custom kinds actually present in
+    the scene emit a branch, matching ``pdf_direction`` — foreign-kind
+    registrations cost nothing and cannot poison gradients through
+    ``jnp.where`` on default table rows."""
     from ..ops.gather import take_rows
     safe = jnp.maximum(si_emitter_idx, 0)
     rad = take_rows(table["radiance"], safe)
@@ -489,11 +526,15 @@ def eval_hit(table, si_emitter_idx, wi_local_z, uv=None):
     vis = (si_emitter_idx >= 0) & is_area & (wi_local_z > 0.0)
     out = jnp.where(vis[..., None], rad, 0.0)
     if _CUSTOM_EVAL_FNS:
-        row = {k: take_rows(v, safe) for k, v in table.items()}
-        for ck, fn in _CUSTOM_EVAL_FNS.items():
-            val = fn(row, wi_local_z, uv)
-            out = jnp.where(((si_emitter_idx >= 0) & (kind == ck))[..., None],
-                            val, out)
+        custom = [k for k in _CUSTOM_EVAL_FNS
+                  if kinds_present is None or k in kinds_present]
+        if custom:
+            row = {k: take_rows(v, safe) for k, v in table.items()}
+            for ck in custom:
+                val = _CUSTOM_EVAL_FNS[ck](row, wi_local_z, uv)
+                out = jnp.where(
+                    ((si_emitter_idx >= 0) & (kind == ck))[..., None],
+                    val, out)
     return out
 
 
