@@ -179,14 +179,17 @@ def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)))
-    if kind in ("volpath", "volpathmis"):
-        # one implementation serves both names: the repo's volpath already
-        # performs the spectral-channel MIS over free-flight distance
-        # sampling that distinguishes the reference's volpathmis.cpp from
-        # volpath.cpp (see integrators/volpath.py: pdf_scatter/pdf_surface
-        # channel averaging, volpath.cpp:210-260)
+    if kind == "volpath":
         from ..integrators import volpath
         return volpath.render_volpath(
+            scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)))
+    if kind == "volpathmis":
+        # path-level spectral MIS over per-channel distance sampling
+        # (volpathmis.cpp WeightMatrix machinery)
+        from ..integrators import volpathmis
+        return volpathmis.render_volpathmis(
             scene, seed=seed, sensor_idx=sensor, spp=spp,
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)))

@@ -275,6 +275,19 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     next_delta = jnp.where(
         medium_scatter, False,
         B.has_flag(bs.sampled_type, B.BSDFFlags.Delta))
+    # a NULL crossing (medium interface) is not a scattering event: the MIS
+    # state (prev vertex / pdf / delta-ness) must survive it, or a
+    # subsequent emitter hit is treated as a delta chain and gets FULL
+    # weight while NEE at the last real vertex was already MIS-weighted —
+    # the two strategies then sum to >1 and every light path whose last
+    # segment crosses the medium boundary is double-counted (+41% on a
+    # fog-in-cornell-box scene vs an independent analog estimator).  The
+    # reference keeps last_scatter_event across null events for the same
+    # reason (volpathmis.cpp:237-239,370-375; volpath.cpp analog).
+    is_null_cross = (~medium_scatter) & ok_s & B.has_flag(
+        bs.sampled_type, B.BSDFFlags.Null)
+    next_pdf = jnp.where(is_null_cross, st.prev_pdf, next_pdf)
+    next_delta = jnp.where(is_null_cross, st.prev_delta, next_delta)
     beta = beta * jnp.where(
         medium_scatter[..., None], 1.0,
         jnp.where(ok_s[..., None], bsdf_w, 0.0))
@@ -301,10 +314,11 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     active_next2 = active_next & (~rr_active | (rr_u < rr_prob))
 
     depth = st.depth + (si.valid | medium_scatter).astype(jnp.int32)
+    prev_p_next = jnp.where(is_null_cross[..., None], st.prev_p, ref_p)
     new_st = VolState(
         sampler=sampler, ray_o=new_o, ray_d=new_d, depth=depth, L=L,
         beta=beta, active=active_next2, medium=medium,
-        prev_p=ref_p, prev_pdf=next_pdf, prev_delta=next_delta)
+        prev_p=prev_p_next, prev_pdf=next_pdf, prev_delta=next_delta)
     rec = VolRecord(
         pi_t=si.t,
         pi_uv=jnp.stack([si.b1, 1.0 - si.b0 - si.b1], -1),
