@@ -153,6 +153,26 @@ def physical_mueller(scene, si, wo_local, hf, active):
                   | (kind == B.KIND_CIRCULAR))
         M = jnp.where(is_pol[..., None, None, None], Me, M)
 
+    if B.KIND_MEASURED_POLARIZED in kinds:
+        # full measured Mueller matrix (measured_polarized.cpp:243-299):
+        # interpolate the pBSDF table in Rusinkiewicz coordinates, then
+        # rotate the measurement frames (plane of reflection) to the world
+        # implicit Stokes bases used by this pipeline
+        from ..models import measured_polarized as mp_mod
+        kind = p["kind"]
+        is_mp = kind == B.KIND_MEASURED_POLARIZED
+        in_fwd, out_fwd = -wo_w, wi_w
+        for i, tex in enumerate(scene.textures):
+            if getattr(tex, "kind", "") != "pbsdf":
+                continue
+            Mt, xo_hat, xi_hat, ok = mp_mod.eval_mueller_frames(
+                tex, wi_loc, wo_local)
+            Mt = mu.rotate_mueller_basis(
+                Mt, in_fwd, si.to_world(xo_hat), mu.stokes_basis(in_fwd),
+                out_fwd, si.to_world(xi_hat), mu.stokes_basis(out_fwd))
+            sel = is_mp & (p["reflectance_tex"].astype(jnp.int32) == i) & ok
+            M = jnp.where(sel[..., None, None, None], Mt, M)
+
     m00 = M[..., 0, 0, :]
     return M, m00
 

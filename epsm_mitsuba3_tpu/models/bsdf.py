@@ -72,6 +72,7 @@ KIND_MEASURED = 12
 KIND_POLARIZER = 13
 KIND_RETARDER = 14
 KIND_CIRCULAR = 15
+KIND_MEASURED_POLARIZED = 16
 
 #: static sentinel appended to a scene's bsdf_kinds when any slot selects
 #: the Beckmann microfacet distribution — gates tracing of that branch
@@ -95,11 +96,11 @@ KIND_NAMES = {
     "polarizer": KIND_POLARIZER,
     "retarder": KIND_RETARDER,
     "circular": KIND_CIRCULAR,
-    # measured_polarized: unpolarized lobe via the roughconductor proxy;
-    # the polarized integrator adds the conductor Fresnel Mueller on top
-    # (full pBRDF tensor interpolation is out of scope, cf.
-    # src/bsdfs/measured_polarized.cpp)
-    "measured_polarized": KIND_ROUGHCONDUCTOR,
+    # measured_polarized: real pBSDF tables (models/measured_polarized.py;
+    # src/bsdfs/measured_polarized.cpp): the scalar pipeline samples the
+    # reference's cosine+GGX(alpha_sample) mixture and evaluates the
+    # interpolated M00, the polarized pipeline the full 4x4 Mueller matrix
+    "measured_polarized": KIND_MEASURED_POLARIZED,
 }
 
 # Scalar flags for each kind (as declared by the plugin ctors in src/bsdfs/)
@@ -128,6 +129,7 @@ KIND_FLAGS = {
     KIND_POLARIZER: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
     KIND_RETARDER: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
     KIND_CIRCULAR: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
+    KIND_MEASURED_POLARIZED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
 }
 
 
@@ -800,6 +802,62 @@ def _measured_tex_eval(textures, tex_idx, wi, wo):
     return out
 
 
+#: diffuse-lobe pick probability of the pBSDF sampling mixture
+#: (COSINE_HEMISPHERE_PDF_WEIGHT, measured_polarized.cpp:13)
+PBSDF_DIFFUSE_W = 0.1
+
+
+def _pbsdf_mix_pdf(p, wi, wo):
+    """pdf of the cosine + GGX(alpha_sample) sampling mixture
+    (measured_polarized.cpp:326-345)."""
+    alpha = p["alpha"]
+    h = m.normalize(wi + wo)
+    pdf_m = warp.ggx_pdf_visible(wi, h, alpha, alpha) / jnp.maximum(
+        4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+    pdf_d = jnp.maximum(wo[..., 2], 0.0) / jnp.pi
+    pdf = PBSDF_DIFFUSE_W * pdf_d + (1.0 - PBSDF_DIFFUSE_W) * pdf_m
+    ok = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def _measured_polarized_sample(p, wi, s1, s2):
+    """Cosine/GGX mixture sampling (measured_polarized.cpp:176-212); the
+    returned weight is a placeholder overridden post-dispatch with
+    M00 * cos / pdf from the pBSDF table."""
+    alpha = p["alpha"]
+    pick_diffuse = s1 < PBSDF_DIFFUSE_W
+    wo_d = warp.square_to_cosine_hemisphere(s2)
+    mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
+    wo_m = m.reflect_m(wi, mvec)
+    wo = jnp.where(pick_diffuse[..., None], wo_d, wo_m)
+    pdf = _pbsdf_mix_pdf(p, wi, wo)
+    bs = BSDFSample(
+        wo=wo, pdf=pdf, eta=jnp.ones(pdf.shape, wi.dtype),
+        sampled_type=jnp.full(pdf.shape, BSDFFlags.GlossyReflection,
+                              jnp.uint32),
+        hf=m.normalize(wi + wo),
+    )
+    ok = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0) & (pdf > 1e-12)
+    return bs, jnp.ones(wi.shape, wi.dtype), ok
+
+
+def _measured_polarized_eval_pdf(p, wi, wo):
+    """Mixture pdf; the value is filled in post-dispatch (textures scope)."""
+    return jnp.zeros(wi.shape, wi.dtype), _pbsdf_mix_pdf(p, wi, wo)
+
+
+def _pbsdf_tex_eval(textures, tex_idx, wi, wo):
+    """Evaluate per-lane pBSDF M00 lobes (f_r, no cosine)."""
+    from . import measured_polarized as mp_mod
+    out = jnp.zeros(wi.shape, wi.dtype)
+    for i, tex in enumerate(textures):
+        if getattr(tex, "kind", "") != "pbsdf":
+            continue
+        val = mp_mod.eval_m00(tex, wi, wo)
+        out = jnp.where((tex_idx == i)[..., None], val, out)
+    return out
+
+
 _SAMPLE_FNS = {
     KIND_PRINCIPLED: _principled_sample,
     KIND_PPLASTIC: _pplastic_sample,
@@ -813,6 +871,7 @@ _SAMPLE_FNS = {
     KIND_ROUGHPLASTIC: _roughplastic_sample,
     KIND_NULL: _null_sample,
     KIND_MEASURED: _measured_sample,
+    KIND_MEASURED_POLARIZED: _measured_polarized_sample,
     KIND_POLARIZER: _polarizer_sample,
     KIND_RETARDER: _retarder_sample,
     KIND_CIRCULAR: _circular_sample,
@@ -831,6 +890,7 @@ _EVAL_PDF_FNS = {
     KIND_ROUGHPLASTIC: _roughplastic_eval_pdf,
     KIND_NULL: _null_eval_pdf,
     KIND_MEASURED: _measured_eval_pdf,
+    KIND_MEASURED_POLARIZED: _measured_polarized_eval_pdf,
     KIND_POLARIZER: _null_eval_pdf,
     KIND_RETARDER: _null_eval_pdf,
     KIND_CIRCULAR: _null_eval_pdf,
@@ -962,6 +1022,14 @@ def sample(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, s1, s2,
         w_m = f_val * (jnp.maximum(bs_out.wo[..., 2:3], 0.0)
                        / jnp.maximum(bs_out.pdf, 1e-12)[..., None])
         w_out = jnp.where(is_m[..., None] & ok_out[..., None], w_m, w_out)
+    if KIND_MEASURED_POLARIZED in kinds_present:
+        # pBSDF: M00 * cos / pdf_mixture (measured_polarized.cpp:210-211)
+        is_mp = p["kind"] == KIND_MEASURED_POLARIZED
+        f_val = _pbsdf_tex_eval(textures, p["reflectance_tex"], wi_f,
+                                bs_out.wo)
+        w_mp = f_val * (jnp.maximum(bs_out.wo[..., 2:3], 0.0)
+                        / jnp.maximum(bs_out.pdf, 1e-12)[..., None])
+        w_out = jnp.where(is_mp[..., None] & ok_out[..., None], w_mp, w_out)
     # un-flip wo for twosided backside hits
     bs_out = bs_out.replace(wo=_flip_z(bs_out.wo, flip), hf=_flip_z(bs_out.hf, flip))
     if active is not None:
@@ -1006,6 +1074,12 @@ def eval_pdf(table, kinds_present: Tuple[int, ...], bsdf_idx, wi, wo,
                                        wi_f, wo_f)
             val_m = f_val * jnp.maximum(wo_f[..., 2:3], 0.0)
             val_out = jnp.where(is_m[..., None], val_m, val_out)
+        if KIND_MEASURED_POLARIZED in kinds_present:
+            is_mp = p["kind"] == KIND_MEASURED_POLARIZED
+            f_val = _pbsdf_tex_eval(textures, p["reflectance_tex"],
+                                    wi_f, wo_f)
+            val_mp = f_val * jnp.maximum(wo_f[..., 2:3], 0.0)
+            val_out = jnp.where(is_mp[..., None], val_mp, val_out)
         return val_out, pdf_out
 
     val_out, pdf_out = eval_table(p)

@@ -141,8 +141,14 @@ def _cie_project(spectra_vals: np.ndarray, wavelengths: np.ndarray):
     ill = sp.illuminant_spd(wavelengths, xp=np)
     xyz = sp.cie1931_xyz(wavelengths, xp=np)              # (L, 3)
     W = xyz * ill[:, None]
-    W = W / np.maximum(W.sum(0, keepdims=True), 1e-9)     # white -> (1,1,1)
-    rgb = spectra_vals @ (W @ np.asarray(sp._XYZ_TO_SRGB, np.float64).T)
+    W = W / np.maximum(W.sum(0, keepdims=True), 1e-9)
+    M = W @ np.asarray(sp._XYZ_TO_SRGB, np.float64).T     # (L, 3)
+    # white balance in sRGB, not XYZ: a FLAT reflectance spectrum must map
+    # to gray (r=g=b=1), i.e. each output channel is normalized by its
+    # response to the flat spectrum — without this, flat tables pick up a
+    # (1.20, 0.95, 0.91) tint from the XYZ->sRGB row sums
+    M = M / np.maximum(M.sum(0, keepdims=True), 1e-9)
+    rgb = spectra_vals @ M
     return np.clip(rgb, 0.0, None)
 
 

@@ -384,6 +384,24 @@ class _Builder:
                 grid3d=jnp.asarray(table),
                 nodes=jnp.asarray(ti_nodes)))
 
+        # measured polarized pBSDF (src/bsdfs/measured_polarized.cpp):
+        # bake the Mueller tensor's wavelength axis to RGB at build
+        if kind == bsdf_mod.KIND_MEASURED_POLARIZED:
+            from . import measured_polarized as mp_mod
+            from . import textures as tex_mod
+            grid, pd_n, td_n, th_n = mp_mod.bake(
+                p["filename"], float(p.get("wavelength", -1.0)))
+            measured_alpha = float(p.get("alpha_sample", 0.1))
+            measured_tex = len(self.textures)
+            npd, ntd, nth = grid.shape[0], grid.shape[1], grid.shape[2]
+            self.textures.append(tex_mod.Texture(
+                kind="pbsdf",
+                data=jnp.zeros((1, 1, 3), jnp.float32),
+                color0=jnp.zeros(3), color1=jnp.ones(3),
+                uv_scale=jnp.ones(2),
+                grid3d=grid.reshape(npd, ntd, nth, 48),
+                nodes=jnp.concatenate([pd_n, td_n, th_n])))
+
         # blendbsdf: register both children first (blendbsdf.cpp)
         blend_a = blend_b = 0
         if kind == bsdf_mod.KIND_BLEND:
@@ -455,7 +473,8 @@ class _Builder:
                         bsdf_mod.KIND_ROUGHPLASTIC)
             else float(p.get("eta", 1.5046)) if not isinstance(p.get("eta"), (dict, list)) else 1.5046,
         }
-        if kind == bsdf_mod.KIND_MEASURED:
+        if kind in (bsdf_mod.KIND_MEASURED,
+                    bsdf_mod.KIND_MEASURED_POLARIZED):
             row["alpha"] = measured_alpha
             row["reflectance_tex"] = measured_tex
         idx = len(self.bsdf_rows)
