@@ -31,12 +31,30 @@ config = _Config()
 
 
 def set_variant(name: str = "tpu_ad_rgb") -> None:
-    """API-compatibility shim for ``mi.set_variant`` (src/python/__init__.py:73-150).
+    """``mi.set_variant`` (src/python/__init__.py:73-150).
 
-    Accepts any mitsuba variant name; only the dtype suffix matters.
+    Accepts any mitsuba variant name.  The ``*_double`` suffix selects the
+    f64 dtype policy (the reference's double variants,
+    mitsuba.conf.template): JAX x64 mode is enabled, subsequently BUILT
+    scenes carry float64 leaves (models/scene.py casts at assembly), and
+    the integrators inherit f64 through dtype propagation — shading,
+    sampling weights, film accumulation and gradients all run in double.
+
+    Deliberate exception: BVH traversal and the Pallas intersection
+    kernels stay float32 — TPU has no f64 vector hardware, and traversal
+    only produces detached DECISIONS (hit primitive + parametric t seed);
+    every differentiable quantity is re-derived from the f64 vertices by
+    ``compute_surface_interaction``'s Möller-Trumbore re-intersection, so
+    the precision of the transported radiance and its derivatives is
+    genuinely double.
+
+    Call before building scenes; flipping x64 invalidates jit caches.
     """
     config.variant = name
-    config.dtype = jnp.float64 if name.endswith("double") else jnp.float32
+    double = name.endswith("double")
+    config.dtype = jnp.float64 if double else jnp.float32
+    import jax
+    jax.config.update("jax_enable_x64", bool(double))
 
 
 def variant() -> str:

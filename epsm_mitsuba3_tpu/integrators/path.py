@@ -179,6 +179,13 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
 
     depth = st.depth + si.valid.astype(st.depth.dtype)
 
+    # NOTE on null lobes: a null/mask crossing sets prev_bsdf_delta=True
+    # (Null is in the Delta lattice), so an emitter hit behind it gets full
+    # weight — consistent here because ray_test treats null shapes as
+    # OCCLUDERS for NEE (scene.py:105, the reference path.cpp limitation):
+    # the two strategies still partition unity.  volpath, whose shadow rays
+    # march THROUGH null boundaries, must instead preserve the real-vertex
+    # MIS state across null crossings (see integrators/volpath.py).
     new_state = LoopState(
         sampler=sampler,
         ray_o=new_ray.o,
@@ -210,7 +217,10 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     return new_state, record
 
 
-def init_state(sampler, ray: Ray, n: int, dtype=jnp.float32) -> LoopState:
+def init_state(sampler, ray: Ray, n: int, dtype=None) -> LoopState:
+    # inherit the scene dtype policy from the camera rays (f64 under the
+    # *_double variants — the rays come from the cast sensor transforms)
+    dtype = ray.o.dtype if dtype is None else dtype
     return LoopState(
         sampler=sampler,
         ray_o=ray.o,

@@ -132,7 +132,7 @@ def _pcg_1d(sampler):
     return sampler.replace(rng=r), x
 
 
-def next_1d(sampler: Sampler):
+def _next_1d_f32(sampler: Sampler):
     kind = sampler.kind
     if kind == "independent" or sampler.sample_index is None:
         return _pcg_1d(sampler)
@@ -150,7 +150,7 @@ def next_1d(sampler: Sampler):
     return s2, jitter
 
 
-def next_2d(sampler: Sampler):
+def _next_2d_f32(sampler: Sampler):
     kind = sampler.kind
     if kind == "independent" or sampler.sample_index is None:
         r, x = _rng.pcg32_next_float32(sampler.rng)
@@ -210,3 +210,24 @@ def next_2d(sampler: Sampler):
 def np_ceil_sqrt(n):
     import math
     return int(math.ceil(math.sqrt(n)))
+
+
+def _as_policy(x):
+    """Cast a sample to the variant dtype policy.  Generation stays f32
+    (bit-exact PCG32/TEA parity with the reference, tests/test_rng.py);
+    the f32 -> f64 cast is exact, so the *_double variants consume the
+    identical sample stream at higher downstream precision."""
+    from ..config import config
+    if config.dtype == jnp.float64:
+        return x.astype(jnp.float64)
+    return x
+
+
+def next_1d(sampler: Sampler):
+    s, x = _next_1d_f32(sampler)
+    return s, _as_policy(x)
+
+
+def next_2d(sampler: Sampler):
+    s, x = _next_2d_f32(sampler)
+    return s, _as_policy(x)

@@ -922,7 +922,7 @@ class _Builder:
         if len(faces) > accel.BRUTE_FORCE_MAX_TRIS:
             from ..ops import bvh as bvh_mod
             bvh = bvh_mod.build(vertices, faces)
-        return Scene(
+        scene = Scene(
             vertices=jnp.asarray(vertices),
             normals=jnp.asarray(np.concatenate(self.normals)),
             uvs=jnp.asarray(np.concatenate(self.uvs)),
@@ -947,6 +947,22 @@ class _Builder:
             face_open=jnp.asarray(face_open),
             static=static,
         )
+        from ..config import config as _cfg
+        if _cfg.dtype == jnp.float64:
+            # double variant (*_double, set_variant): cast every float leaf
+            # of the scene at this single choke point; dtype then
+            # propagates through the integrators via promotion.  The BVH
+            # stays f32 — traversal is detached decisions only; see
+            # config.set_variant for the precision contract.
+            def _to64(x):
+                if (hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.floating)):
+                    return x.astype(jnp.float64)
+                return x
+            bvh_keep = scene.bvh
+            scene = jax.tree.map(_to64, scene)
+            scene = scene.replace(bvh=bvh_keep)
+        return scene
 
 
 _SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
