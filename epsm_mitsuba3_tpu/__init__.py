@@ -28,5 +28,9 @@ from .ops.normals import (scene_with_vertices,  # noqa: F401
                           compute_vertex_normals)  # noqa: F401
 from .models.bsdf import register_bsdf  # noqa: F401
 from .models.emitters import register_emitter  # noqa: F401
+from .models.scene import register_shape  # noqa: F401
+from .models.sensors import register_sensor  # noqa: F401
+from .models.textures import register_texture  # noqa: F401
+from .models.samplers import register_sampler  # noqa: F401
 
 __version__ = "0.1.0"

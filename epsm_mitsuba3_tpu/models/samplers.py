@@ -212,6 +212,30 @@ def np_ceil_sqrt(n):
     return int(math.ceil(math.sqrt(n)))
 
 
+#: third-party sampler plugins (register_sampler): kind -> (1d fn, 2d fn)
+_CUSTOM_SAMPLER_FNS = {}
+
+
+def register_sampler(name: str, next_1d_fn, next_2d_fn=None) -> None:
+    """Third-party sampler plugin — the sampler leg of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168).
+
+    ``next_1d_fn(sampler: Sampler) -> (Sampler, x (N,))`` draws the next
+    1-D sample dimension; the Sampler pytree exposes ``rng`` (PCG32
+    state), ``sample_index``, ``dim`` and ``seed_val`` for stratification
+    or scrambled-sequence schemes.  ``next_2d_fn`` defaults to two
+    chained 1-D draws.  Scenes then select it with
+    ``{"sampler": {"type": "<name>", ...}}``."""
+    if name in _CUSTOM_SAMPLER_FNS:
+        raise ValueError(f"sampler type '{name}' already registered")
+    if next_2d_fn is None:
+        def next_2d_fn(sampler):
+            s, x = next_1d_fn(sampler)
+            s, y = next_1d_fn(s)
+            return s, jnp.stack([x, y], -1)
+    _CUSTOM_SAMPLER_FNS[name] = (next_1d_fn, next_2d_fn)
+
+
 def _as_policy(x):
     """Cast a sample to the variant dtype policy.  Generation stays f32
     (bit-exact PCG32/TEA parity with the reference, tests/test_rng.py);
@@ -224,10 +248,16 @@ def _as_policy(x):
 
 
 def next_1d(sampler: Sampler):
-    s, x = _next_1d_f32(sampler)
+    if sampler.kind in _CUSTOM_SAMPLER_FNS:
+        s, x = _CUSTOM_SAMPLER_FNS[sampler.kind][0](sampler)
+    else:
+        s, x = _next_1d_f32(sampler)
     return s, _as_policy(x)
 
 
 def next_2d(sampler: Sampler):
-    s, x = _next_2d_f32(sampler)
+    if sampler.kind in _CUSTOM_SAMPLER_FNS:
+        s, x = _CUSTOM_SAMPLER_FNS[sampler.kind][1](sampler)
+    else:
+        s, x = _next_2d_f32(sampler)
     return s, _as_policy(x)

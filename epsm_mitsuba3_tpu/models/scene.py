@@ -137,6 +137,25 @@ class Scene:
 _MESH_TYPES = ("obj", "ply", "serialized", "rectangle", "cube", "disk",
                "sphere", "cylinder", "instance", "shapegroup", "mesh")
 
+#: third-party shape plugins (register_shape): name -> build fn
+_CUSTOM_SHAPE_FNS: Dict[str, Any] = {}
+
+
+def register_shape(name: str, build_fn) -> None:
+    """Third-party shape plugin — the shape leg of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168).
+
+    ``build_fn(props: dict) -> dict`` receives the scene-dict entry and
+    returns mesh arrays ``{"vertices": (V,3), "faces": (F,3)}`` with
+    optional ``normals``/``uvs``/``colors`` — the same contract as the
+    builtin ``type: mesh`` raw meshes (every reference shape plugin except
+    the analytic quadrics reduces to exactly this).  ``to_world``,
+    nested BSDF/emitter/medium children, ``face_normals``/``flip_normals``
+    and BVH construction are handled by the shared pipeline."""
+    if name in _MESH_TYPES or name in _CUSTOM_SHAPE_FNS:
+        raise ValueError(f"shape type '{name}' already registered")
+    _CUSTOM_SHAPE_FNS[name] = build_fn
+
 
 def _parse_spd(value: dict):
     """Tabulated-spectrum dict -> (wavelengths (M,), values (M,)) float64.
@@ -326,7 +345,28 @@ class _Builder:
                 else tuple(d.get("uv_scale")),
             )
         else:
-            raise ValueError(f"unsupported texture type '{t}'")
+            from .textures import _CUSTOM_TEXTURE_FNS
+            if t in _CUSTOM_TEXTURE_FNS:
+                # third-party texture plugin (register_texture): the
+                # generic Texture fields carry the dict parameters
+                img = None
+                if d.get("filename"):
+                    from ..core.bitmap import read_image
+                    img = read_image(d["filename"]).data
+                sc_ = d.get("uv_scale", 1.0)
+                sc_ = (tuple(sc_) if isinstance(sc_, (list, tuple))
+                       else (float(sc_),) * 2)
+                tex = tex_mod.Texture(
+                    kind=t,
+                    data=(jnp.asarray(img, jnp.float32) if img is not None
+                          else jnp.zeros((1, 1, 3), jnp.float32)),
+                    color0=jnp.asarray(_rgb(d.get("color0"), (1, 1, 1)),
+                                       jnp.float32),
+                    color1=jnp.asarray(_rgb(d.get("color1"), (0, 0, 0)),
+                                       jnp.float32),
+                    uv_scale=jnp.asarray(sc_, jnp.float32))
+            else:
+                raise ValueError(f"unsupported texture type '{t}'")
         self.textures.append(tex)
         return len(self.textures) - 1
 
@@ -414,10 +454,13 @@ class _Builder:
             blend_a = self.add_bsdf(children[0], f"{name}.bsdf_0")
             blend_b = self.add_bsdf(children[1], f"{name}.bsdf_1")
 
+        from .textures import _CUSTOM_TEXTURE_FNS
         refl = p.get("reflectance", p.get("base_color"))
         refl_tex = -1
-        if isinstance(refl, dict) and refl.get("type") in (
-                "bitmap", "checkerboard", "mesh_attribute", "volume"):
+        if isinstance(refl, dict) and (
+                refl.get("type") in ("bitmap", "checkerboard",
+                                     "mesh_attribute", "volume")
+                or refl.get("type") in _CUSTOM_TEXTURE_FNS):
             refl_tex = self.add_texture(refl)
             refl = None
         row = {
@@ -658,6 +701,17 @@ class _Builder:
             for k in ("normals", "uvs"):
                 if k in d:
                     mesh[k] = _np.asarray(d[k], _np.float32)
+        elif t in _CUSTOM_SHAPE_FNS:
+            # third-party shape plugin (register_shape): the build fn
+            # turns the props dict into mesh arrays; everything downstream
+            # (transforms, BSDF/emitter children, BVH) is shared
+            import numpy as _np
+            mesh = dict(_CUSTOM_SHAPE_FNS[t](d))
+            mesh["vertices"] = _np.asarray(mesh["vertices"], _np.float32)
+            mesh["faces"] = _np.asarray(mesh["faces"], _np.int32)
+            for k in ("normals", "uvs", "colors"):
+                if mesh.get(k) is not None:
+                    mesh[k] = _np.asarray(mesh[k], _np.float32)
         else:
             raise ValueError(f"unsupported shape type '{t}'")
 
@@ -782,7 +836,7 @@ class _Builder:
             # batch sensor (src/sensors/batch.cpp): nested sensors tiled
             # horizontally into one film, width = sum of sub widths
             subs = [v for v in d.values()
-                    if isinstance(v, dict) and v.get("type") in _SENSOR_TYPES
+                    if isinstance(v, dict) and (v.get("type") in _SENSOR_TYPES or v.get("type") in _custom_sensor_kinds())
                     and v.get("type") != "batch"]
             if not subs:
                 raise ValueError("batch sensor needs nested sensors")
@@ -965,6 +1019,11 @@ class _Builder:
         return scene
 
 
+def _custom_sensor_kinds():
+    from .sensors import _CUSTOM_SENSOR_FNS
+    return _CUSTOM_SENSOR_FNS
+
+
 _SENSOR_TYPES = ("perspective", "thinlens", "orthographic", "radiancemeter",
                  "irradiancemeter", "batch", "distant")
 _INTEGRATOR_TYPES = ("path", "prb", "prb_basic", "prb_reparam", "direct",
@@ -982,11 +1041,11 @@ def load_dict(d: Dict[str, Any]) -> Scene:
         if key == "type" or not isinstance(val, dict):
             continue
         t = val.get("type")
-        if t in _SENSOR_TYPES:
+        if t in _SENSOR_TYPES or t in _custom_sensor_kinds():
             b.add_sensor(val)
         elif t in _INTEGRATOR_TYPES:
             b.integrator = dict(val)
-        elif t in _MESH_TYPES:
+        elif t in _MESH_TYPES or t in _CUSTOM_SHAPE_FNS:
             b.add_shape(val, key)
         elif t in bsdf_mod.KIND_NAMES or t in ("twosided", "mask"):
             b.add_bsdf(val, key)  # standalone (usually with 'id')

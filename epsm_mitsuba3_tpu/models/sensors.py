@@ -32,6 +32,26 @@ class Sensor:
     sub_fov_x: tuple = static_field(default=())
 
 
+#: third-party sensor plugins (register_sensor): kind -> sample fn
+_CUSTOM_SENSOR_FNS = {}
+
+
+def register_sensor(name: str, sample_fn) -> None:
+    """Third-party sensor plugin — the sensor leg of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168).
+
+    ``sample_fn(sensor: Sensor, pos01 (N,2)) -> (o (N,3), d (N,3),
+    weight (N,3) | None)`` maps film positions in [0,1]^2 to primary-ray
+    origins/directions (``sensor.to_world`` and the intrinsics fields are
+    available on the pytree; extra parameters can ride ``to_world`` or
+    closures).  Ray differentials are derived by re-evaluating at
+    one-pixel offsets; ``None`` weight means 1.  Scenes then use
+    ``{"type": "<name>", ...}`` like any builtin sensor."""
+    if name in _CUSTOM_SENSOR_FNS:
+        raise ValueError(f"sensor type '{name}' already registered")
+    _CUSTOM_SENSOR_FNS[name] = sample_fn
+
+
 def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
                             aperture_sample=None):
     """Primary rays for film positions ``pos01`` in [0,1]^2.
@@ -44,6 +64,22 @@ def sample_ray_differential(sensor: Sensor, pos01: jnp.ndarray,
     """
     if sensor.kind == "batch":
         return _sample_batch(sensor, pos01)
+    if sensor.kind in _CUSTOM_SENSOR_FNS:
+        # third-party sensor plugin (register_sensor): the fn returns
+        # (o, d, weight); ray differentials come from re-evaluating the
+        # fn at one-pixel film offsets (perspective.cpp's footprint
+        # construction applied generically)
+        fn = _CUSTOM_SENSOR_FNS[sensor.kind]
+        o, d, w = fn(sensor, pos01)
+        du = jnp.asarray([1.0 / sensor.width, 0.0])
+        dv = jnp.asarray([0.0, 1.0 / sensor.height])
+        _, d_x, _ = fn(sensor, pos01 + du)
+        _, d_y, _ = fn(sensor, pos01 + dv)
+        ray = Ray.make(o, m.normalize(d), d_x=m.normalize(d_x),
+                       d_y=m.normalize(d_y))
+        if w is None:
+            w = jnp.ones(d.shape[:-1] + (3,), d.dtype)
+        return ray, w
 
     aspect = sensor.width / sensor.height
     tan_half = jnp.tan(jnp.deg2rad(sensor.fov_x) * 0.5)

@@ -84,8 +84,29 @@ def _eval_volume(tex: Texture, pos: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(inside[..., None], out, 0.0)
 
 
+#: third-party texture plugins (register_texture): kind -> eval fn
+_CUSTOM_TEXTURE_FNS = {}
+
+
+def register_texture(name: str, eval_fn) -> None:
+    """Third-party texture plugin — the texture leg of the reference's
+    ``PluginManager::register_python_plugin`` (src/core/plugin.cpp:168).
+
+    ``eval_fn(tex: Texture, uv (N,2), pos (N,3) | None) -> (N,3)``
+    evaluates the texture at surface uv (and world position for
+    3-D/procedural fields).  The Texture pytree's generic fields
+    (``color0``, ``color1``, ``uv_scale``, ``data``) carry parameters
+    parsed from the scene dict; scenes then use ``{"type": "<name>",
+    ...}`` anywhere a builtin texture is accepted."""
+    if name in _CUSTOM_TEXTURE_FNS:
+        raise ValueError(f"texture type '{name}' already registered")
+    _CUSTOM_TEXTURE_FNS[name] = eval_fn
+
+
 def eval_one(tex: Texture, uv: jnp.ndarray, pos: jnp.ndarray = None) -> jnp.ndarray:
     """Evaluate one texture at (N,2) uv (3D textures use ``pos``)."""
+    if tex.kind in _CUSTOM_TEXTURE_FNS:
+        return _CUSTOM_TEXTURE_FNS[tex.kind](tex, uv, pos)
     if tex.kind == "volume":
         if pos is None:
             # no hit position available: fall back to the grid mean color

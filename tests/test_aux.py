@@ -5,6 +5,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -149,6 +150,7 @@ def test_serialized_mesh_loader(tmp_path):
     assert (m["faces"] == faces.astype(np.int32)).all()
 
 
+@pytest.mark.slow
 def test_epsm_camera_gradient(tmp_path):
     """EPSM injects camera-origin gradients (epsm.py:260-261)."""
     import sys

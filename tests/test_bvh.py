@@ -1,6 +1,7 @@
 """BVH builder/traversal/refit tests (accel parity vs brute force —
 scene_embree.inl analog correctness)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -140,6 +141,7 @@ def _tri_soup(F, seed=0):
     return v, f
 
 
+@pytest.mark.slow
 def test_pallas_packet_traversal_matches_brute():
     """Pallas packet-traversal kernel (ops/pallas_traverse.py) must agree
     with brute force on closest hit, uv, prim id, and shadow maxt."""

@@ -58,6 +58,7 @@ print('OK')
 """
 
 
+@pytest.mark.slow
 def test_double_variant_end_to_end():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = _SCRIPT % {"repo": repo, "tests": os.path.join(repo, "tests")}

@@ -57,6 +57,7 @@ def test_epsm_primal_is_5channel():
     assert img[..., :3].max() > 1.0  # light visible
 
 
+@pytest.mark.slow
 def test_epsm_backward_finite():
     from epsm_mitsuba3_tpu.integrators import epsm
     scene = mi.load_dict(cornell_box(res=16, spp=4, max_depth=4))
@@ -69,6 +70,7 @@ def test_epsm_backward_finite():
         assert np.abs(gv).max() > 0, "manifold must produce vertex grads"
 
 
+@pytest.mark.slow
 def test_epsm_light_position_gradient_sign():
     """Moving the light +x while the target sits at 0 must yield a positive
     gradient on theta (pull back toward 0) through the OT matcher."""

@@ -32,6 +32,7 @@ def test_dp_render_bitwise_deterministic(meshes):
     assert np.abs(img8 - img_s).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_dp_train_step(meshes):
     pm, m1, m8 = meshes
     scene = mi.load_dict(cornell_box(res=8, spp=8, max_depth=2))
@@ -54,6 +55,7 @@ def test_dp_train_step(meshes):
     assert np.allclose(v1, v8, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_manifold_backward(meshes):
     pm, m1, m8 = meshes
     from test_epsm2 import caustic_scene

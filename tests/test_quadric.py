@@ -77,6 +77,7 @@ def _ball_scene(analytic):
         "ball": ball})
 
 
+@pytest.mark.slow
 def test_center_gradient_matches_mesh_path():
     """The analytic center gradient must agree with translating every
     vertex of a finely tessellated sphere under the same (detached-PRB)

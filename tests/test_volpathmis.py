@@ -135,6 +135,7 @@ def test_gray_fog_matches_analog_oracle():
     assert abs(b - gt) / gt < 0.05, (b, gt)
 
 
+@pytest.mark.slow
 def test_volpathmis_unbiased_colored_fog():
     """Per-channel transport decouples: channel c of the colored-fog render
     must match channel c of a gray-fog render at sigma_c (both integrators,
@@ -152,6 +153,7 @@ def test_volpathmis_unbiased_colored_fog():
         assert abs(got - gt_c) / max(gt_c, 1e-6) < 0.08, (c, got, gt_c)
 
 
+@pytest.mark.slow
 def test_volpathmis_variance_reduction_colored_fog():
     """Strongly colored sigma_t + deep chains: per-event channel-averaged
     pdfs (volpath) blow up the channel whose accumulated pdf collapsed;

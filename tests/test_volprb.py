@@ -43,6 +43,7 @@ def test_volprb_albedo_grad_vs_fd():
     assert abs(ad - fd) / max(abs(fd), 1e-6) < 0.05, (ad, fd)
 
 
+@pytest.mark.slow
 def test_volprb_sigma_t_grad_vs_fd():
     """Extinction sigma_t drives the free-flight sampling, so CRN FD is
     biased by discrete scatter/surface event flips; compare against
