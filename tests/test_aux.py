@@ -173,3 +173,32 @@ def test_tonemap_and_sysinfo():
         y = tonemap(x, mth)
         assert (y >= 0).all() and (y <= 1).all()
     assert info()["device_count"] >= 1
+
+
+def test_logger_video_and_tensorboard_streams(tmp_path):
+    """EPSM experiment-logger parity (EPSM/utils/logger.py:10-66): per-
+    stream mp4 video, tensorboard scalars/images, JSONL metrics."""
+    import os
+    import numpy as np
+    from epsm_mitsuba3_tpu.utils.logger import Logger
+
+    lg = Logger(str(tmp_path), "exp", tensorboard=True)
+    img = np.zeros((32, 32, 3), np.float32)
+    for it in range(4):
+        img[:, it * 8:(it + 1) * 8] = 1.0
+        lg.add_image("render", img, step=it, type="video")
+        lg.add_metric(it, loss=1.0 / (it + 1))
+    lg.add_image("snap", img, step=3, type="image")
+    lg.close()
+
+    files = []
+    for r, _, fs in os.walk(tmp_path):
+        files += [os.path.join(r, f) for f in fs]
+    mp4 = [f for f in files if f.endswith(".mp4")]
+    if mp4:   # backend present in this env (cv2/imageio baked in)
+        assert os.path.getsize(mp4[0]) > 0
+    else:     # degraded mode: numbered frames
+        assert sum("render_" in f for f in files) == 4
+    assert any("events" in f for f in files)          # tensorboard
+    assert any(f.endswith("metrics.jsonl") for f in files)
+    assert any("snap_00003" in f for f in files)
