@@ -126,12 +126,82 @@ class _hybridmethod:
         return call
 
 
+# ---------------------------------------------------------------------------
+# host-side (numpy) constructors for the SCALAR transform builder.
+#
+# ScalarTransform4f is scene-DESCRIPTION math: it runs while parsing dicts,
+# before any wavefront exists.  Building its matrices with jnp would place
+# every 4x4 on the accelerator and read it straight back — on the axon TPU
+# tunnel each of those round trips costs real latency, and a large scene's
+# build went from ~1 s (CPU backend) to minutes (TPU) before this was made
+# numpy-pure.  The differentiable jnp constructors above remain for traced
+# use (camera-pose optimization etc.).
+# ---------------------------------------------------------------------------
+
+def _np_translate(v):
+    import numpy as np
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = np.asarray(v, np.float32).reshape(3)
+    return t
+
+
+def _np_scale(v):
+    import numpy as np
+    v = np.asarray(v, np.float32)
+    if v.ndim == 0:
+        v = np.stack([v, v, v])
+    return np.diag(np.concatenate([v, np.ones((1,), v.dtype)]))
+
+
+def _np_rotate(axis, angle_deg):
+    import numpy as np
+    axis = np.asarray(axis, np.float64)
+    axis = axis / max(np.linalg.norm(axis), 1e-20)
+    a = np.deg2rad(float(angle_deg))
+    s, c = np.sin(a), np.cos(a)
+    x, y, z = axis
+    omc = 1.0 - c
+    rot = np.array([
+        [c + x * x * omc, x * y * omc - z * s, x * z * omc + y * s],
+        [y * x * omc + z * s, c + y * y * omc, y * z * omc - x * s],
+        [z * x * omc - y * s, z * y * omc + x * s, c + z * z * omc]])
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = rot.astype(np.float32)
+    return out
+
+
+def _np_look_at(origin, target, up):
+    import numpy as np
+    origin = np.asarray(origin, np.float64)
+    fwd = np.asarray(target, np.float64) - origin
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-20)
+    right = np.cross(np.asarray(up, np.float64), fwd)
+    right = right / max(np.linalg.norm(right), 1e-20)
+    new_up = np.cross(fwd, right)
+    out = np.eye(4, dtype=np.float64)
+    out[:3, 0] = right
+    out[:3, 1] = new_up
+    out[:3, 2] = fwd
+    out[:3, 3] = origin
+    return out.astype(np.float32)
+
+
+def _np_perspective(fov_deg, near, far):
+    import numpy as np
+    return np.asarray(perspective(float(fov_deg), float(near), float(far)),
+                      np.float32)
+
+
 class ScalarTransform4f:
     """Chainable transform builder mirroring ``mi.ScalarTransform4f`` so that
-    reference scene dicts (EPSM/exp/*.py) port with minimal edits."""
+    reference scene dicts (EPSM/exp/*.py) port with minimal edits.
+
+    Host-side numpy math (see the note above the ``_np_*`` constructors)."""
 
     def __init__(self, matrix=None):
-        self.matrix = identity() if matrix is None else jnp.asarray(matrix, jnp.float32)
+        import numpy as np
+        self.matrix = (np.eye(4, dtype=np.float32) if matrix is None
+                       else np.asarray(matrix, np.float32))
 
     # Chainable API: T.look_at(...).scale(...)
     def _chain(self, mat):
@@ -139,37 +209,39 @@ class ScalarTransform4f:
 
     @_hybridmethod
     def translate(self, v):
-        return self._chain(translate(v))
+        return self._chain(_np_translate(v))
 
     @_hybridmethod
     def scale(self, v):
-        return self._chain(scale(v))
+        return self._chain(_np_scale(v))
 
     @_hybridmethod
     def rotate(self, axis, angle):
-        return self._chain(rotate(axis, angle))
+        return self._chain(_np_rotate(axis, angle))
 
     @_hybridmethod
     def look_at(self, origin, target, up):
-        return self._chain(look_at(origin, target, up))
+        return self._chain(_np_look_at(origin, target, up))
 
     @_hybridmethod
     def perspective(self, fov, near, far):
-        return self._chain(perspective(fov, near, far))
+        return self._chain(_np_perspective(fov, near, far))
 
     def __matmul__(self, other):
+        import numpy as np
         if isinstance(other, ScalarTransform4f):
             return ScalarTransform4f(self.matrix @ other.matrix)
-        other = jnp.asarray(other)
-        if other.ndim >= 1 and other.shape[-1] == 3:
-            return apply_point(self.matrix, other)
-        return ScalarTransform4f(self.matrix @ other)
+        if hasattr(other, "ndim") and other.ndim >= 1 \
+                and other.shape[-1] == 3:
+            return apply_point(jnp.asarray(self.matrix), other)
+        return ScalarTransform4f(self.matrix @ np.asarray(other, np.float32))
 
     @staticmethod
     def from_any(x):
+        import numpy as np
         if isinstance(x, ScalarTransform4f):
             return x
-        return ScalarTransform4f(jnp.asarray(x, jnp.float32).reshape(4, 4))
+        return ScalarTransform4f(np.asarray(x, np.float32).reshape(4, 4))
 
 
 Transform4f = ScalarTransform4f
