@@ -49,9 +49,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.records import PreliminaryIntersection, Ray
 from .bvh import MAX_LEAF4
 
-BLOCK_SUB = 32
+import os as _os
+
+# block geometry: env-tunable so perf sweeps on real hardware need no code
+# edits (PALLAS_BLOCK_SUB sublane rows of 128 lanes per packet).  Smaller
+# packets traverse tighter node sets (less redundant work on incoherent
+# rays) but pay more scalar pops total; 32 was the round-2 sweet spot on
+# v5e for the 64k-tri bench scene.
+BLOCK_SUB = int(_os.environ.get("PALLAS_BLOCK_SUB", 32))
 BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step
-SUB_CULL = 8                          # sublane rows per leaf-cull group
+SUB_CULL = int(_os.environ.get("PALLAS_SUB_CULL", 8))
 STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
 PALLAS_BVH_MAX_TRIS = 120_000
