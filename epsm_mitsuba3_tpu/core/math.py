@@ -26,8 +26,21 @@ def norm(a: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
 
 
 def normalize(a: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Unit vector with a vjp-safe degenerate branch.
+
+    d(rsqrt)/d(n2) = -0.5 n2^{-1.5} overflows f32 for n2 below ~1e-26, so
+    normalizing a near-zero vector (an antipodal half-vector wi+wo on a
+    masked lane, a zero-length NEE offset, ...) produces an inf partial
+    that turns even a ZERO cotangent into NaN and poisons every gradient
+    in the wavefront.  Degenerate lanes (n2 <= 1e-24) keep the identical
+    primal but detach — their direction derivative is meaningless anyway."""
+    import jax
     n2 = jnp.sum(a * a, axis=-1, keepdims=True)
-    return a * jax_rsqrt(jnp.maximum(n2, eps if eps > 0 else 1e-37))
+    n2f = jnp.maximum(n2, eps if eps > 0 else 1e-37)
+    big = n2 > 1e-24
+    out_big = a * jax_rsqrt(jnp.where(big, n2f, 1.0))
+    out_small = jax.lax.stop_gradient(a * jax_rsqrt(n2f))
+    return jnp.where(big, out_big, out_small)
 
 
 def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
@@ -35,15 +48,39 @@ def jax_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped to 0 below zero, with a FINITE derivative at x == 0.
+
+    d(sqrt)/dx -> inf as x -> 0+; evaluate-all-kinds-and-select dispatch
+    feeds every BSDF garbage rows for foreign lanes (e.g. fresnel_conductor
+    with eta=k=0 cancels its sqrt argument to exactly 0), and a single inf
+    partial turns the whole wavefront's gradient to NaN even though the
+    lane's cotangent is zero (0 * inf).  Double-where keeps the primal
+    exact and the derivative 0 at/below zero."""
+    ok = x > 0.0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
-    return jax_rsqrt(jnp.maximum(x, 1e-37))
+    """rsqrt with the degenerate region (x <= 1e-24) detached: its
+    derivative -0.5 x^{-1.5} overflows f32 there (see safe_sqrt)."""
+    import jax
+    xf = jnp.maximum(x, 1e-37)
+    big = x > 1e-24
+    out_big = jax_rsqrt(jnp.where(big, xf, 1.0))
+    return jnp.where(big, out_big,
+                     jax.lax.stop_gradient(jax_rsqrt(xf)))
 
 
 def safe_acos(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    """arccos with exact primal and a finite derivative at |x| = 1
+    (d(acos)/dx = -1/sqrt(1-x^2) -> inf there; |x| = 1 happens for every
+    dot product of a vector with itself)."""
+    import jax
+    xc = jnp.clip(x, -1.0, 1.0)
+    xg = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+    prim = jnp.arccos(xc)
+    grad_path = jnp.arccos(xg)
+    return jax.lax.stop_gradient(prim - grad_path) + grad_path
 
 
 def fma(a, b, c):

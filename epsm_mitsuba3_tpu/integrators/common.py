@@ -13,11 +13,16 @@ from ..models import sensors as sns
 
 
 def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
-    """Power heuristic beta=2 (common.py ``mis_weight``), detached."""
+    """Power heuristic beta=2 (common.py ``mis_weight``), detached.
+
+    Computed as 1/(1+(b/a)^2) instead of a^2/(a^2+b^2): near-grazing area
+    pdfs reach ~1e20 (the emitter-sample floor) and SQUARING them
+    overflows f32 to inf/inf = NaN — harmless after the mask but it trips
+    NaN debugging and reads as a latent hazard."""
     import jax
-    a2 = pdf_a * pdf_a
-    w = a2 / (pdf_b * pdf_b + a2)
-    return jax.lax.stop_gradient(jnp.where(pdf_a > 0.0, jnp.nan_to_num(w), 0.0))
+    r = pdf_b / jnp.where(pdf_a > 0.0, pdf_a, 1.0)
+    w = 1.0 / (1.0 + r * r)
+    return jax.lax.stop_gradient(jnp.where(pdf_a > 0.0, w, 0.0))
 
 
 def sample_rays(sensor: sns.Sensor, sampler: smp.Sampler, spp: int,
