@@ -81,9 +81,11 @@ def main():
 
     for kind in ("coherent", "incoherent"):
         o, d = make_rays(scene, kind)
-        for name, fn in (("xla", xla_hit), ("pallas+sort", pal_hit),
-                         ("pallas", pal_hit_nosort),
-                         ("pallas-any", pal_any)):
+        variants = [("pallas+sort", pal_hit), ("pallas", pal_hit_nosort),
+                    ("pallas-any", pal_any)]
+        if os.environ.get("WITH_XLA", "0") == "1":
+            variants.insert(0, ("xla", xla_hit))
+        for name, fn in variants:
             try:
                 mr = bench(fn, o, d)
                 print(f"{kind:10s} {name:12s} {mr:8.1f} Mrays/s")
