@@ -48,6 +48,13 @@ def set_variant(name: str = "tpu_ad_rgb") -> None:
     the precision of the transported radiance and its derivatives is
     genuinely double.
 
+    Known limitation (vs the reference's double variants): scene
+    *parsing* quantizes through float32 — mesh files, ``to_world``
+    matrices and inline vertex arrays are staged as np.float32 before the
+    final f64 cast at assembly (models/scene.py), so scene-description
+    precision is ~1e-7 relative even under ``*_double``.  All *computation*
+    downstream of the build is full f64.
+
     Call before building scenes; flipping x64 invalidates jit caches.
     """
     config.variant = name

@@ -96,6 +96,28 @@ def safe_rcp(x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
     return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
 
 
+def safe_div(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """``x / jnp.maximum(y, eps)`` with an overflow-proof vjp.
+
+    The naive form evaluates the denominator partial -x/y^2 on EVERY lane,
+    including pinned ones (y <= eps, where maximum's own partial is 0): with
+    eps = 1e-20, y^-2 = 1e40 overflows f32 to inf, and a ZERO cotangent still
+    produces 0 * inf = NaN that poisons the whole wavefront's gradient.
+    This fires on perfectly ordinary masked lanes — e.g. roughconductor
+    eval's d*g / max(4 cos_i, 1e-20) on every below-horizon ray (the root
+    cause of the round-3 prb_reparam NaN on the glossy-floor config).
+
+    Double-where: lanes with y > 1e-18 (f32-squarable) divide normally;
+    pinned lanes keep the EXACT primal ``x / max(y, eps)`` but detach the
+    denominator (its true derivative there is 0-or-garbage anyway)."""
+    import jax
+    ok = y > 1e-18
+    out_big = x / jnp.where(ok, y, 1.0)
+    out_small = x * jax.lax.stop_gradient(
+        1.0 / jnp.maximum(y, jnp.asarray(eps, dtype=jnp.result_type(y))))
+    return jnp.where(ok, out_big, out_small)
+
+
 def lerp(a, b, t):
     return a * (1.0 - t) + b * t
 

@@ -231,6 +231,10 @@ class ScalarTransform4f:
         import numpy as np
         if isinstance(other, ScalarTransform4f):
             return ScalarTransform4f(self.matrix @ other.matrix)
+        if isinstance(other, (list, tuple)):
+            # plain Python points (T @ [x, y, z]) keep working (they have
+            # no ndim/shape attributes to hit the branch below)
+            other = np.asarray(other, np.float32)
         if hasattr(other, "ndim") and other.ndim >= 1 \
                 and other.shape[-1] == 3:
             return apply_point(jnp.asarray(self.matrix), other)

@@ -123,10 +123,9 @@ def square_to_beckmann(sample: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
 def beckmann_ndf(mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
     """Beckmann distribution D(m) (microfacet.h ``eval``)."""
     cos2 = mvec[..., 2] ** 2
-    e = ((mvec[..., 0] / alpha_u) ** 2 + (mvec[..., 1] / alpha_v) ** 2) \
-        / jnp.maximum(cos2, 1e-20)
-    result = jnp.exp(-e) / (
-        _PI * alpha_u * alpha_v * jnp.maximum(cos2 * cos2, 1e-20))
+    e = m.safe_div((mvec[..., 0] / alpha_u) ** 2
+                   + (mvec[..., 1] / alpha_v) ** 2, cos2)
+    result = m.safe_div(jnp.exp(-e), _PI * alpha_u * alpha_v * cos2 * cos2)
     return jnp.where(mvec[..., 2] > 0.0, result, 0.0)
 
 
@@ -135,9 +134,8 @@ def beckmann_smith_g1(v: jnp.ndarray, mvec: jnp.ndarray,
     """Smith G1 for Beckmann via Walter's rational approximation
     (microfacet.h ``smith_g1``, Beckmann branch)."""
     xy_alpha_2 = (alpha_u * v[..., 0]) ** 2 + (alpha_v * v[..., 1]) ** 2
-    tan_theta_alpha = jnp.sqrt(
-        xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-20))
-    a = 1.0 / jnp.maximum(tan_theta_alpha, 1e-20)
+    tan_theta_alpha = m.safe_sqrt(m.safe_div(xy_alpha_2, v[..., 2] ** 2))
+    a = m.safe_div(1.0, tan_theta_alpha)
     result = jnp.where(
         a >= 1.6, 1.0,
         (3.535 * a + 2.181 * a * a) / (1.0 + 2.276 * a + 2.577 * a * a))
@@ -238,8 +236,8 @@ def beckmann_pdf_visible(wi: jnp.ndarray, mvec: jnp.ndarray,
     G1(wi) |wi.m| D(m) / |cos θ_i|."""
     d = beckmann_ndf(mvec, alpha_u, alpha_v)
     g1 = beckmann_smith_g1(wi, mvec, alpha_u, alpha_v)
-    return d * g1 * jnp.abs(m.dot(wi, mvec)) / jnp.maximum(
-        jnp.abs(wi[..., 2]), 1e-20)
+    return m.safe_div(d * g1 * jnp.abs(m.dot(wi, mvec)),
+                      jnp.abs(wi[..., 2]))
 
 
 def ggx_visible_normal_sample(wi: jnp.ndarray, sample: jnp.ndarray,
@@ -291,14 +289,16 @@ def ggx_ndf(mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
     """GGX normal distribution function D(m) (microfacet.h ``eval``)."""
     alpha_uv = alpha_u * alpha_v
     beta = (mvec[..., 0] / alpha_u) ** 2 + (mvec[..., 1] / alpha_v) ** 2 + mvec[..., 2] ** 2
-    result = 1.0 / (_PI * alpha_uv * beta * beta)
+    # safe_div: beta == 0 for a degenerate zero m (antipodal wi+wo half
+    # vector on a masked lane) would put inf into the beta partial
+    result = m.safe_div(1.0, _PI * alpha_uv * beta * beta)
     return jnp.where(mvec[..., 2] > 0.0, result, 0.0)
 
 
 def ggx_smith_g1(v: jnp.ndarray, mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp.ndarray:
     """Smith masking function G1 for GGX (microfacet.h ``smith_g1``)."""
     xy_alpha_2 = (alpha_u * v[..., 0]) ** 2 + (alpha_v * v[..., 1]) ** 2
-    tan_theta_alpha_2 = xy_alpha_2 / jnp.maximum(v[..., 2] ** 2, 1e-20)
+    tan_theta_alpha_2 = m.safe_div(xy_alpha_2, v[..., 2] ** 2)
     result = 2.0 / (1.0 + jnp.sqrt(1.0 + tan_theta_alpha_2))
     result = jnp.where(xy_alpha_2 == 0.0, 1.0, result)
     # perpendicular incidence wrt m
@@ -310,4 +310,5 @@ def ggx_pdf_visible(wi: jnp.ndarray, mvec: jnp.ndarray, alpha_u, alpha_v) -> jnp
     """pdf of visible-normal sampling: G1(wi) * |wi.m| * D(m) / |cos_theta_i|."""
     d = ggx_ndf(mvec, alpha_u, alpha_v)
     g1 = ggx_smith_g1(wi, mvec, alpha_u, alpha_v)
-    return d * g1 * jnp.abs(m.dot(wi, mvec)) / jnp.maximum(jnp.abs(wi[..., 2]), 1e-20)
+    return m.safe_div(d * g1 * jnp.abs(m.dot(wi, mvec)),
+                      jnp.abs(wi[..., 2]))

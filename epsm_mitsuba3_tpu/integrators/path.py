@@ -134,7 +134,9 @@ def bounce(scene, st: LoopState, it: int, max_depth: int, rr_depth: int,
     if cached is not None:
         pi = cached["pi"]
     else:
-        pi = scene.ray_intersect_preliminary(ray)
+        # bounce 0 = camera rays: coherent packet geometry (the analog of
+        # the reference passing coherent=True there, prb.py:386)
+        pi = scene.ray_intersect_preliminary(ray, coherent=(it == 0))
         pi = pi.replace(valid=pi.valid & st.active)
     si = I.compute_surface_interaction(scene, ray, pi, RayFlags.All)
 
@@ -242,13 +244,12 @@ def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
     st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
     scene_d = jax.lax.stop_gradient(scene)
 
-    def body(st, _):
-        st2, _rec = bounce(scene_d, st, 0, max_depth, rr_depth)
-        return st2, None
-
-    # unroll: XLA pipelines/specializes across bounces — measured 2x on
-    # the cornell primal vs the rolled scan (v5e, 1M lanes, d6)
-    st, _ = jax.lax.scan(body, st, None, length=max_depth, unroll=True)
+    # python loop == fully-unrolled scan (XLA pipelines/specializes across
+    # bounces — measured 2x on the cornell primal vs the rolled scan,
+    # v5e, 1M lanes, d6) AND lets each bounce pick its static packet
+    # geometry (bounce 0 coherent, bounce 1+ small packets)
+    for it in range(max_depth):
+        st, _rec = bounce(scene_d, st, it, max_depth, rr_depth)
     return st.L, st.depth > 0
 
 
@@ -268,11 +269,11 @@ def sample_primal_recorded(scene, sampler, ray: Ray, max_depth: int,
     st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
     scene_d = jax.lax.stop_gradient(scene)
 
-    def body(st, _):
-        st2, rec = bounce(scene_d, st, 0, max_depth, rr_depth)
-        return st2, {"pi": rec["pi"], "occl": rec["occl"]}
-
-    st, trace = jax.lax.scan(body, st, None, length=max_depth, unroll=True)
+    slices = []
+    for it in range(max_depth):
+        st, rec = bounce(scene_d, st, it, max_depth, rr_depth)
+        slices.append({"pi": rec["pi"], "occl": rec["occl"]})
+    trace = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *slices)
     return st.L, st.depth > 0, trace
 
 

@@ -180,9 +180,14 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
         kind_m = take_rows(scene.media["kind"][:, None],
                            jnp.maximum(st.medium, 0))[..., 0]
         is_het = in_med & (kind_m == MED.KIND_HETEROGENEOUS)
+        # per-bounce salt: a fixed salt would replay the identical
+        # tracking sequence at every bounce of a path, correlating
+        # successive free flights in multi-scatter heterogeneous media
+        # (round-3 advisor finding)
         t_het = MED.sample_free_flight_hetero(
             scene.volume_grids[0], sig, st.ray_o, st.ray_d, surf_t,
-            0x1234 + 7)
+            jnp.uint32(0x1234 + 7)
+            + st.depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         t_m = jnp.where(is_het, t_het, t_m)
     medium_scatter = in_med & (t_m < surf_t) & st.active
     t_event = jnp.where(medium_scatter, t_m, surf_t)
@@ -195,8 +200,8 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     pdf_surface = jnp.mean(tr, axis=-1)
     w_med = jnp.where(
         medium_scatter[..., None],
-        sig * alb * tr / jnp.maximum(pdf_scatter, 1e-20)[..., None],
-        tr / jnp.maximum(pdf_surface, 1e-20)[..., None],
+        m.safe_div(sig * alb * tr, pdf_scatter[..., None]),
+        m.safe_div(tr, pdf_surface[..., None]),
     )
     if scene.volume_grids:
         # delta tracking is self-normalizing: scatter weight = albedo,
@@ -313,7 +318,13 @@ def vol_bounce(scene, st: VolState, max_depth: int, rr_depth: int):
     sampler, rr_u = smp.next_1d(sampler)
     active_next2 = active_next & (~rr_active | (rr_u < rr_prob))
 
-    depth = st.depth + (si.valid | medium_scatter).astype(jnp.int32)
+    # null BSDF crossings (medium interfaces) do NOT consume a bounce,
+    # matching volpath.cpp's depth accounting (null_scatter skips the
+    # depth increment): null-boundary-heavy scenes keep their real light
+    # paths at equal max_depth.  Truncation by the fixed-length scan
+    # (max_depth iterations) still applies to the total EVENT count.
+    depth = st.depth + ((si.valid & ~is_null_cross)
+                        | medium_scatter).astype(jnp.int32)
     prev_p_next = jnp.where(is_null_cross[..., None], st.prev_p, ref_p)
     new_st = VolState(
         sampler=sampler, ray_o=new_o, ray_d=new_d, depth=depth, L=L,
@@ -385,8 +396,8 @@ def _vol_local_contrib(scene, rec: VolRecord, L_remaining):
     pdf_surface = jax.lax.stop_gradient(jnp.mean(tr, axis=-1))
     w_att = jnp.where(
         ms[..., None],
-        sig * alb * tr / jnp.maximum(pdf_scatter, 1e-20)[..., None],
-        tr / jnp.maximum(pdf_surface, 1e-20)[..., None])
+        m.safe_div(sig * alb * tr, pdf_scatter[..., None]),
+        m.safe_div(tr, pdf_surface[..., None]))
     if scene.volume_grids:
         # delta tracking: attached albedo at scatter events; sigma_t grads
         # through hetero free flight are not modeled (matching the

@@ -113,7 +113,7 @@ def _mis_bounce(scene, st: MisState, max_depth: int, rr_depth: int):
     sig, alb, ph_kind, ph_g, ph_s6, in_med = _medium_params(scene, st.medium)
     sampler, u_t = smp.next_1d(sampler)
     s_ch = jnp.take_along_axis(sig + 1e-20, st.ch[..., None], -1)[..., 0]
-    t_m = -jnp.log(jnp.maximum(1.0 - u_t, 1e-20)) / jnp.maximum(s_ch, 1e-20)
+    t_m = m.safe_div(-jnp.log(jnp.maximum(1.0 - u_t, 1e-20)), s_ch)
     surf_t = jnp.where(si.valid, si.t, 1e7)
     is_het = jnp.zeros_like(in_med)
     if scene.volume_grids:
@@ -121,9 +121,12 @@ def _mis_bounce(scene, st: MisState, max_depth: int, rr_depth: int):
         kind_m = take_rows(scene.media["kind"][:, None],
                            jnp.maximum(st.medium, 0))[..., 0]
         is_het = in_med & (kind_m == MED.KIND_HETEROGENEOUS)
+        # per-bounce salt (see volpath.py: decorrelates successive
+        # free flights; round-3 advisor finding)
         t_het = MED.sample_free_flight_hetero(
             scene.volume_grids[0], sig, st.ray_o, st.ray_d, surf_t,
-            0x51A7 + 3)
+            jnp.uint32(0x51A7 + 3)
+            + st.depth.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
         t_m = jnp.where(is_het, t_het, t_m)
     medium_scatter = in_med & (t_m < surf_t) & st.active
     t_event = jnp.where(medium_scatter, t_m, surf_t)
@@ -283,11 +286,11 @@ def _mis_bounce(scene, st: MisState, max_depth: int, rr_depth: int):
     scattered = medium_scatter | non_null
     last_sc_p = jnp.where(scattered[..., None], ref_p, st.last_sc_p)
 
-    # depth accounting matches this repo's volpath (any surface event or
-    # medium scatter consumes a bounce) so the two integrators truncate
-    # identical path sets: the scan is fixed-length anyway, and diverging
-    # bounce bookkeeping would make A/B comparisons meaningless
-    depth = st.depth + (medium_scatter | surf_ok).astype(jnp.int32)
+    # depth accounting matches the reference (volpathmis.cpp increments
+    # depth only for non_null_bsdf / medium scatters) AND this repo's
+    # volpath: null crossings don't consume a bounce; the fixed-length
+    # scan still bounds total events
+    depth = st.depth + (medium_scatter | non_null).astype(jnp.int32)
     active = st.active & (medium_scatter | surf_ok) & (depth < max_depth)
     active = active & (jnp.max(jnp.sum(pof, -1), -1) > 0.0)
 

@@ -73,6 +73,7 @@ KIND_POLARIZER = 13
 KIND_RETARDER = 14
 KIND_CIRCULAR = 15
 KIND_MEASURED_POLARIZED = 16
+KIND_PRINCIPLEDTHIN = 17
 
 #: static sentinel appended to a scene's bsdf_kinds when any slot selects
 #: the Beckmann microfacet distribution — gates tracing of that branch
@@ -89,7 +90,9 @@ KIND_NAMES = {
     "roughplastic": KIND_ROUGHPLASTIC,
     "null": KIND_NULL,
     "principled": KIND_PRINCIPLED,
-    "principledthin": KIND_PRINCIPLED,
+    # thin-surface Disney variant: two-sided symmetric model with a
+    # specular transmission lobe (src/bsdfs/principledthin.cpp)
+    "principledthin": KIND_PRINCIPLEDTHIN,
     "blendbsdf": KIND_BLEND,
     "pplastic": KIND_PPLASTIC,
     "measured": KIND_MEASURED,  # RGL tabulated BRDFs (models/measured.py)
@@ -130,6 +133,11 @@ KIND_FLAGS = {
     KIND_RETARDER: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
     KIND_CIRCULAR: BSDFFlags.Null | BSDFFlags.FrontSide | BSDFFlags.BackSide,
     KIND_MEASURED_POLARIZED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
+    KIND_PRINCIPLEDTHIN: (BSDFFlags.GlossyReflection
+                          | BSDFFlags.GlossyTransmission
+                          | BSDFFlags.DiffuseReflection
+                          | BSDFFlags.DiffuseTransmission
+                          | BSDFFlags.FrontSide | BSDFFlags.BackSide),
 }
 
 
@@ -157,6 +165,10 @@ def empty_table(n: int) -> Dict[str, jnp.ndarray]:
         "clearcoat": jnp.zeros((n,), f),
         "clearcoat_gloss": jnp.full((n,), 1.0, f),
         "specular": jnp.full((n,), 0.5, f),
+        # --- principledthin extras (src/bsdfs/principledthin.cpp) ---
+        "spec_trans": jnp.zeros((n,), f),
+        "diff_trans": jnp.zeros((n,), f),   # raw 0..2 schema range
+        "flatness": jnp.zeros((n,), f),
         # --- blendbsdf: child slots + weight (src/bsdfs/blendbsdf.cpp) ---
         "blend_a": jnp.zeros((n,), jnp.int32),
         "blend_b": jnp.zeros((n,), jnp.int32),
@@ -304,7 +316,7 @@ def _roughconductor_sample(p, wi, s1, s2):
     mvec = _mf_normal_sample(p, wi, s2)
     wo = m.reflect_m(wi, mvec)
     pdf_m = _mf_pdf_visible(p, wi, mvec)
-    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, mvec)))
     f = m.fresnel_conductor(m.dot(wi, mvec)[..., None], p["eta_c"], p["k_c"])
     # weight for visible-normal sampling: F * G2/G1 -> here smith_g1(wo, m)
     g1_o = _mf_g1(p, wo, mvec)
@@ -328,9 +340,9 @@ def _roughconductor_eval_pdf(p, wi, wo):
     d = _mf_ndf(p, h)
     g = _mf_g1(p, wi, h) * _mf_g1(p, wo, h)
     f = m.fresnel_conductor(m.dot(wi, h)[..., None], p["eta_c"], p["k_c"])
-    value = p["specular_reflectance"] * f * (d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+    value = p["specular_reflectance"] * f * m.safe_div(d * g, 4.0 * cos_i)[..., None]
     pdf_m = _mf_pdf_visible(p, wi, h)
-    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, h)))
     return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
 
 
@@ -417,9 +429,9 @@ def _roughdielectric_sample(p, wi, s1, s2):
     wo = jnp.where(sel_r[..., None], wo_r, wo_t)
     eta = jnp.where(sel_r, 1.0, eta_it)
 
-    dwh_dwo_r = 1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    dwh_dwo_r = m.safe_div(1.0, 4.0 * jnp.abs(m.dot(wo, mvec)))
     sqrt_denom = m.dot(wi, mvec) + eta_it * m.dot(wo, mvec)
-    dwh_dwo_t = (eta_it ** 2) * jnp.abs(m.dot(wo, mvec)) / jnp.maximum(sqrt_denom ** 2, 1e-20)
+    dwh_dwo_t = m.safe_div((eta_it ** 2) * jnp.abs(m.dot(wo, mvec)), sqrt_denom ** 2)
     pdf = pdf_m * jnp.where(sel_r, F, 1.0 - F) * jnp.where(sel_r, dwh_dwo_r, dwh_dwo_t)
 
     wo_flip = jnp.where(sel_r[..., None], jnp.where(cos_i[..., None] >= 0, wo, -wo),
@@ -462,14 +474,15 @@ def _roughdielectric_eval_pdf(p, wi, wo):
     F, _, eta_it, eta_ti = m.fresnel(m.dot(wi, h), p["eta"])
 
     # reflection value
-    val_r = F * d * g / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
+    val_r = m.safe_div(F * d * g, 4.0 * jnp.abs(cos_i))
     # transmission value (radiance transport, roughdielectric.cpp eval)
     sqrt_denom = m.dot(wi, h) + eta_it * m.dot(wo, h)
     val_t = (
         (1.0 - F) * d * g
         * jnp.abs(
-            m.dot(wi, h) * m.dot(wo, h)
-            / jnp.maximum(cos_i * sqrt_denom ** 2, 1e-20)
+            m.safe_div(m.dot(wi, h) * m.dot(wo, h),
+                       jnp.abs(cos_i) * sqrt_denom ** 2)
+            * jnp.sign(cos_i)
         )
         * (eta_ti ** 2)
     )
@@ -481,8 +494,8 @@ def _roughdielectric_eval_pdf(p, wi, wo):
     pdf_m = _mf_pdf_visible(p, wi_flip, h_i)
     dwh_dwo = jnp.where(
         reflect,
-        1.0 / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20),
-        (eta_it ** 2) * jnp.abs(m.dot(wo, h)) / jnp.maximum(sqrt_denom ** 2, 1e-20),
+        m.safe_div(1.0, 4.0 * jnp.abs(m.dot(wo, h))),
+        m.safe_div((eta_it ** 2) * jnp.abs(m.dot(wo, h)), sqrt_denom ** 2),
     )
     prob = jnp.where(reflect, F, 1.0 - F)
     pdf = pdf_m * prob * dwh_dwo
@@ -572,7 +585,7 @@ def _roughplastic_eval_pdf(p, wi, wo):
     d = _mf_ndf(p, h)
     g = _mf_g1(p, wi, h) * _mf_g1(p, wo, h)
     F_h, _, _, _ = m.fresnel(m.dot(wi, h), p["eta"])
-    spec = p["specular_reflectance"] * (F_h * d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+    spec = p["specular_reflectance"] * m.safe_div(F_h * d * g, 4.0 * cos_i)[..., None]
     F_i, _, _, _ = m.fresnel(cos_i, p["eta"])
     F_o, _, _, _ = m.fresnel(cos_o, p["eta"])
     diff = (
@@ -581,9 +594,8 @@ def _roughplastic_eval_pdf(p, wi, wo):
         * (cos_o * (1.0 - F_i) * (1.0 - F_o))[..., None]
     )
     value = spec + diff
-    pdf_spec = _mf_pdf_visible(p, wi, h) / jnp.maximum(
-        4.0 * jnp.abs(m.dot(wo, h)), 1e-20
-    )
+    pdf_spec = m.safe_div(_mf_pdf_visible(p, wi, h),
+                          4.0 * jnp.abs(m.dot(wo, h)))
     pdf = F_i * pdf_spec + (1.0 - F_i) * warp.square_to_cosine_hemisphere_pdf(wo)
     return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
 
@@ -644,7 +656,7 @@ def _principled_eval_pdf(p, wi, wo):
         (1.0 - p["spec_tint"][..., None]) + p["spec_tint"][..., None] * tint)
     f0 = f0_d * (1.0 - metallic[..., None]) + base * metallic[..., None]
     f_spec_f = _schlick(f0, cos_d[..., None])
-    spec = f_spec_f * (d * g / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+    spec = f_spec_f * m.safe_div(d * g, 4.0 * cos_i)[..., None]
 
     # clearcoat (GTR1, fixed IOR 1.5 -> F0 = 0.04)
     alpha_cc = (1.0 - p["clearcoat_gloss"]) * 0.1 + \
@@ -653,8 +665,8 @@ def _principled_eval_pdf(p, wi, wo):
     g_cc = warp.ggx_smith_g1(wi, h, 0.25, 0.25) * warp.ggx_smith_g1(
         wo, h, 0.25, 0.25)
     f_cc = 0.04 + 0.96 * (1.0 - cos_d) ** 5
-    cc = (0.25 * p["clearcoat"] * d_cc * g_cc * f_cc
-          / jnp.maximum(4.0 * cos_i, 1e-20))
+    cc = m.safe_div(0.25 * p["clearcoat"] * d_cc * g_cc * f_cc,
+                    4.0 * cos_i)
 
     value = ((diffuse + f_sheen) * (1.0 - metallic[..., None])
              + spec + cc[..., None])
@@ -662,8 +674,8 @@ def _principled_eval_pdf(p, wi, wo):
     # pdf: lobe mixture of cosine diffuse + GGX visible-normal + GTR1
     w_spec = jnp.clip(metallic + 0.5 * (1.0 - metallic), 0.1, 0.9)
     pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
-    pdf_spec = warp.ggx_pdf_visible(wi, h, alpha_g, alpha_g) / jnp.maximum(
-        4.0 * jnp.abs(cos_d), 1e-20)
+    pdf_spec = m.safe_div(warp.ggx_pdf_visible(wi, h, alpha_g, alpha_g),
+                          4.0 * jnp.abs(cos_d))
     pdf = (1.0 - w_spec) * pdf_diff + w_spec * pdf_spec
     return (jnp.where(ok[..., None], value, 0.0),
             jnp.where(ok, pdf, 0.0))
@@ -694,6 +706,190 @@ def _principled_sample(p, wi, s1, s2):
                                       jnp.ones_like(wi[..., 2:3])], -1)),
     )
     ok = (cos_i > 0.0) & (wo[..., 2] > 0.0) & (pdf > 0.0)
+    return bs, jnp.where(ok[..., None], weight, 0.0), ok
+
+
+def _thin_probs(p):
+    """Lobe selection probabilities (principledthin.cpp:291-310, unit
+    sampling rates): [spec_reflect, spec_trans, diff_reflect, diff_trans],
+    normalized."""
+    st = jnp.clip(p["spec_trans"], 0.0, 1.0)
+    dt = jnp.clip(p["diff_trans"], 0.0, 2.0) / 2.0
+    pr = jnp.stack([st * 0.5, st * 0.5,
+                    (1.0 - st) * (1.0 - dt), (1.0 - st) * dt], -1)
+    return pr / jnp.maximum(jnp.sum(pr, -1, keepdims=True), 1e-12)
+
+
+def _principledthin_eval_pdf(p, wi, wo):
+    """Thin-surface Disney BSDF (src/bsdfs/principledthin.cpp eval/pdf):
+    two-sided symmetric model — the ray never bends (bs.eta = 1), the
+    transmission lobes mirror the reflection lobes to the other side:
+
+      * specular reflection: GGX(α=roughness²) × thin Fresnel
+      * specular transmission: GGX with Burley's IOR-scaled roughness
+        (0.65·η − 0.35)·roughness, weighted by base_color·(1 − F_diel)
+      * diffuse reflection: Burley diffuse+retro (+flatness fake-subsurface
+        lerp, + sheen)
+      * diffuse transmission: Lambertian through, weighted by diff_trans/2
+    """
+    cos_i0 = wi[..., 2]
+    act = jnp.abs(cos_i0) > 1e-7
+    sgn = jnp.where(cos_i0 >= 0.0, 1.0, -1.0)[..., None]
+    wi_f = wi * sgn                       # front-side frame (thin symmetry)
+    wo_t = wo * sgn
+    cos_i = jnp.abs(cos_i0)
+    cos_o = wo_t[..., 2]
+    reflect = cos_o > 0.0
+    refract = cos_o < 0.0
+
+    base = p["reflectance"]
+    rough = jnp.clip(p["alpha"], 0.02, 1.0)
+    st = jnp.clip(p["spec_trans"], 0.0, 1.0)
+    dt = jnp.clip(p["diff_trans"], 0.0, 2.0) / 2.0
+    eta_t = jnp.maximum(p["eta"], 1.01)
+    flat = p["flatness"]
+
+    # halfway vector: transmission is evaluated as a mirrored reflection
+    wo_r = jnp.concatenate([wo_t[..., :2], jnp.abs(wo_t[..., 2:3])], -1)
+    h = m.normalize(wi_f + wo_r)
+    # macro/micro compatibility (principledhelpers.h:199)
+    compat_r = (m.dot(wi_f, h) > 0.0) & (m.dot(wo_t, h) > 0.0)
+    compat_t = (m.dot(wi_f, h) > 0.0) & (m.dot(wo_t, -h) > 0.0)
+
+    alpha_g = jnp.maximum(rough * rough, 1e-4)
+    rough_sc = jnp.clip((0.65 * eta_t - 0.35) * rough, 0.02, 1.0)
+    alpha_sc = jnp.maximum(rough_sc * rough_sc, 1e-4)
+
+    cos_hi = m.dot(wi_f, h)
+    F_diel, _, _, _ = m.fresnel(cos_hi, eta_t)
+    # thin Fresnel: lerp of the true dielectric response toward a
+    # base-color-tinted Schlick response (principledhelpers.h:296)
+    lum = (base[..., 0] * 0.2126 + base[..., 1] * 0.7152
+           + base[..., 2] * 0.0722)
+    c_tint = jnp.where(lum[..., None] > 0.0,
+                       base / jnp.maximum(lum[..., None], 1e-6), 1.0)
+    r0 = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
+    F_schlick = c_tint * r0[..., None] + (1.0 - c_tint * r0[..., None]) \
+        * (1.0 - jnp.abs(cos_hi[..., None])) ** 5
+    F_thin = (1.0 - p["spec_tint"][..., None]) * F_diel[..., None] \
+        + p["spec_tint"][..., None] * F_schlick
+
+    value = jnp.zeros_like(base)
+    # specular reflection lobe
+    d_r = warp.ggx_ndf(h, alpha_g, alpha_g)
+    g_r = warp.ggx_smith_g1(wi_f, h, alpha_g, alpha_g) \
+        * warp.ggx_smith_g1(wo_r, h, alpha_g, alpha_g)
+    v_sr = st[..., None] * F_thin * m.safe_div(d_r * g_r,
+                                               4.0 * cos_i)[..., None]
+    value = value + jnp.where((reflect & compat_r)[..., None], v_sr, 0.0)
+    # specular transmission lobe (scaled distribution)
+    d_t = warp.ggx_ndf(h, alpha_sc, alpha_sc)
+    g_t = warp.ggx_smith_g1(wi_f, h, alpha_sc, alpha_sc) \
+        * warp.ggx_smith_g1(wo_r, h, alpha_sc, alpha_sc)
+    v_st = (st * (1.0 - F_diel))[..., None] * base \
+        * m.safe_div(d_t * g_t, 4.0 * cos_i)[..., None]
+    value = value + jnp.where((refract & compat_t)[..., None], v_st, 0.0)
+    # diffuse reflection: Burley diffuse + retro, flatness fake-subsurface
+    fo = (1.0 - jnp.abs(cos_o)) ** 5
+    fi = (1.0 - cos_i) ** 5
+    f_diff = (1.0 - 0.5 * fi) * (1.0 - 0.5 * fo)
+    cos_d = m.dot(h, wo_t)
+    rr = 2.0 * rough * cos_d * cos_d
+    f_retro = rr * (fo + fi + fo * fi * (rr - 1.0))
+    fss90 = rr / 2.0
+    fss = m.lerp(1.0, fss90, fo) * m.lerp(1.0, fss90, fi)
+    f_ss = 1.25 * (fss * (m.safe_div(
+        1.0, jnp.abs(cos_o) + cos_i) - 0.5) + 0.5)
+    v_dr = ((1.0 - st) * (1.0 - dt))[..., None] * base / jnp.pi \
+        * (cos_o * m.lerp(f_diff + f_retro, f_ss, flat))[..., None]
+    # sheen
+    fd = (1.0 - jnp.abs(cos_d)) ** 5
+    sheen_col = (1.0 - p["sheen_tint"][..., None]) \
+        + p["sheen_tint"][..., None] * c_tint
+    v_dr = v_dr + (p["sheen"] * (1.0 - st) * (1.0 - dt) * fd
+                   * jnp.abs(cos_o))[..., None] * sheen_col
+    value = value + jnp.where(reflect[..., None], v_dr, 0.0)
+    # diffuse transmission
+    v_dt = ((1.0 - st) * dt * jnp.abs(cos_o))[..., None] * base / jnp.pi
+    value = value + jnp.where(refract[..., None], v_dt, 0.0)
+
+    # pdf: normalized lobe mixture (principledthin.cpp:640-705)
+    pr = _thin_probs(p)
+    dwh_dwo = m.safe_div(1.0, 4.0 * jnp.abs(m.dot(wo_r, h)))
+    pdf_sr = warp.ggx_pdf_visible(wi_f, h, alpha_g, alpha_g) * dwh_dwo
+    pdf_st = warp.ggx_pdf_visible(wi_f, h, alpha_sc, alpha_sc) * dwh_dwo
+    pdf = jnp.where(reflect & compat_r, pr[..., 0] * pdf_sr, 0.0)
+    pdf = pdf + jnp.where(refract & compat_t, pr[..., 1] * pdf_st, 0.0)
+    cos_pdf = jnp.abs(cos_o) / jnp.pi
+    pdf = pdf + jnp.where(reflect, pr[..., 2] * cos_pdf, 0.0)
+    pdf = pdf + jnp.where(refract, pr[..., 3] * cos_pdf, 0.0)
+
+    ok = act & (cos_o != 0.0)
+    return (jnp.where(ok[..., None], value, 0.0),
+            jnp.where(ok, pdf, 0.0))
+
+
+def _principledthin_sample(p, wi, s1, s2):
+    """Lobe-mixture sampling (principledthin.cpp:263-416): pick a lobe by
+    the normalized rates, sample a GGX visible normal (IOR-scaled for the
+    transmission lobe) or the cosine hemisphere, mirror transmission lobes
+    below the surface, then weight = eval/pdf.  Thin surface: eta = 1."""
+    cos_i0 = wi[..., 2]
+    sgn = jnp.where(cos_i0 >= 0.0, 1.0, -1.0)[..., None]
+    wi_f = wi * sgn
+    rough = jnp.clip(p["alpha"], 0.02, 1.0)
+    eta_t = jnp.maximum(p["eta"], 1.01)
+    alpha_g = jnp.maximum(rough * rough, 1e-4)
+    rough_sc = jnp.clip((0.65 * eta_t - 0.35) * rough, 0.02, 1.0)
+    alpha_sc = jnp.maximum(rough_sc * rough_sc, 1e-4)
+
+    pr = _thin_probs(p)
+    c0 = pr[..., 0]
+    c1 = c0 + pr[..., 1]
+    c2 = c1 + pr[..., 2]
+    sel_sr = s1 < c0
+    sel_st = (s1 >= c0) & (s1 < c1)
+    sel_dr = (s1 >= c1) & (s1 < c2)
+    sel_dt = s1 >= c2
+
+    m_r = warp.ggx_visible_normal_sample(wi_f, s2, alpha_g, alpha_g)
+    m_t = warp.ggx_visible_normal_sample(wi_f, s2, alpha_sc, alpha_sc)
+    mvec = jnp.where(sel_st[..., None], m_t, m_r)
+    wo_spec = m.reflect_m(wi_f, mvec)
+    wo_diff = warp.square_to_cosine_hemisphere(s2)
+    wo_t = jnp.where((sel_sr | sel_st)[..., None], wo_spec, wo_diff)
+    # transmission lobes: mirror to the other side (no bending)
+    flip = sel_st | sel_dt
+    wo_t = jnp.concatenate(
+        [wo_t[..., :2],
+         jnp.where(flip, -jnp.abs(wo_t[..., 2]), wo_t[..., 2])[..., None]],
+        -1)
+    wo = wo_t * sgn
+
+    value, pdf = _principledthin_eval_pdf(p, wi, wo)
+    weight = value * m.safe_div(1.0, pdf)[..., None]
+    stype = jnp.where(
+        sel_sr, jnp.uint32(BSDFFlags.GlossyReflection),
+        jnp.where(sel_st, jnp.uint32(BSDFFlags.GlossyTransmission),
+                  jnp.where(sel_dr,
+                            jnp.uint32(BSDFFlags.DiffuseReflection),
+                            jnp.uint32(BSDFFlags.DiffuseTransmission))))
+    z_axis = jnp.concatenate([jnp.zeros_like(wi[..., :2]),
+                              jnp.ones_like(wi[..., 2:3])], -1)
+    bs = BSDFSample(
+        wo=wo,
+        pdf=pdf,
+        eta=jnp.ones_like(pdf),
+        sampled_type=stype,
+        hf=jnp.where((sel_sr | sel_st)[..., None], mvec * sgn, z_axis),
+    )
+    # macro/micro side agreement (principledthin.cpp:346-390 active &=):
+    # a spec-reflection sample must stay above the thin surface, a
+    # spec-transmission sample below — grazing microfacets that mirror a
+    # lobe to the wrong side are rejected, matching the pdf's side masks
+    side_ok = jnp.where(sel_sr | sel_dr, wo_t[..., 2] > 0.0,
+                        wo_t[..., 2] < 0.0)
+    ok = (jnp.abs(cos_i0) > 1e-7) & (pdf > 1e-12) & side_ok
     return bs, jnp.where(ok[..., None], weight, 0.0), ok
 
 
@@ -765,7 +961,7 @@ def _measured_sample(p, wi, s1, s2):
     mvec = warp.ggx_visible_normal_sample(wi, s2, alpha, alpha)
     wo = m.reflect_m(wi, mvec)
     pdf_m = warp.ggx_pdf_visible(wi, mvec, alpha, alpha)
-    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, mvec)), 1e-20)
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, mvec)))
     bs = BSDFSample(
         wo=wo,
         pdf=pdf,
@@ -786,7 +982,7 @@ def _measured_eval_pdf(p, wi, wo):
     alpha = p["alpha"]
     h = m.normalize(wi + wo)
     pdf_m = warp.ggx_pdf_visible(wi, h, alpha, alpha)
-    pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(m.dot(wo, h)), 1e-20)
+    pdf = m.safe_div(pdf_m, 4.0 * jnp.abs(m.dot(wo, h)))
     return jnp.zeros(wi.shape, wi.dtype), jnp.where(ok, pdf, 0.0)
 
 
@@ -860,6 +1056,7 @@ def _pbsdf_tex_eval(textures, tex_idx, wi, wo):
 
 _SAMPLE_FNS = {
     KIND_PRINCIPLED: _principled_sample,
+    KIND_PRINCIPLEDTHIN: _principledthin_sample,
     KIND_PPLASTIC: _pplastic_sample,
     KIND_DIFFUSE: _diffuse_sample,
     KIND_CONDUCTOR: _conductor_sample,
@@ -879,6 +1076,7 @@ _SAMPLE_FNS = {
 
 _EVAL_PDF_FNS = {
     KIND_PRINCIPLED: _principled_eval_pdf,
+    KIND_PRINCIPLEDTHIN: _principledthin_eval_pdf,
     KIND_PPLASTIC: _pplastic_eval_pdf,
     KIND_DIFFUSE: _diffuse_eval_pdf,
     KIND_CONDUCTOR: _conductor_eval_pdf,

@@ -94,7 +94,7 @@ def area_emitter_data(vertices, faces, em_faces):
     areas = triangle_areas(vertices, faces)[safe] * valid
     cdf = jnp.cumsum(areas, axis=-1)
     total = cdf[:, -1]
-    cdf = cdf / jnp.maximum(total, 1e-20)[:, None]
+    cdf = m.safe_div(cdf, total[:, None])
     return cdf, total
 
 
@@ -205,7 +205,7 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
     lo = jnp.where(tri_slot > 0,
                    take_along2(my_cdf, jnp.maximum(tri_slot - 1, 0)), 0.0)
     hi = take_along2(my_cdf, tri_slot)
-    u_r = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0 - 1e-7)
+    u_r = jnp.clip(m.safe_div(u - lo, hi - lo), 0.0, 1.0 - 1e-7)
     b = warp.square_to_uniform_triangle(jnp.stack([u_r, s2[..., 1]], -1))
     pos = p0 * (1.0 - b[..., 0:1] - b[..., 1:2]) + p1 * b[..., 0:1] + p2 * b[..., 1:2]
     nrm = m.normalize(jnp.cross(p1 - p0, p2 - p0))
@@ -217,7 +217,7 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
     # the NaN then leaks through every downstream jnp.where (the masked
     # branch's cotangent is still evaluated)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
-    d = dvec / jnp.maximum(dist, 1e-20)[..., None]
+    d = m.safe_div(dvec, dist[..., None])
     cos_em = m.dot(-d, nrm)
     # solid-angle pdf = dist^2 / (cos * area_total)
     from ..ops.gather import take_rows
@@ -241,9 +241,9 @@ def _area_sample(p_em, ref_p, s2, em_idx, vertices, faces, em_faces, cdf,
 def _point_sample(p_em, ref_p, s2, em_idx, *_):
     dvec = p_em["position"] - ref_p
     dist2 = m.squared_norm(dvec)
-    dist = jnp.sqrt(dist2)
-    d = dvec / jnp.maximum(dist, 1e-20)[..., None]
-    spec = p_em["intensity"] / jnp.maximum(dist2, 1e-20)[..., None]
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
+    d = m.safe_div(dvec, dist[..., None])
+    spec = m.safe_div(p_em["intensity"], dist2[..., None])
     ds = DirectionSample(
         p=p_em["position"], n=-d, uv=jnp.zeros(s2.shape), d=d, dist=dist,
         pdf=jnp.ones(dist.shape), delta=jnp.ones(dist.shape, jnp.bool_),
@@ -483,7 +483,7 @@ def pdf_direction(
         dist2 = m.squared_norm(dvec)
         cos_em = m.dot(-d, hit_n)
         pdf_area = jnp.where(
-            cos_em > 1e-7, dist2 / jnp.maximum(cos_em * area, 1e-20), 0.0
+            cos_em > 1e-7, m.safe_div(dist2, cos_em * area), 0.0
         )
         is_area = (kind == KIND_AREA) | (kind == KIND_DIRECTIONALAREA)
         pdf = jnp.where(is_area, pdf_area, pdf)

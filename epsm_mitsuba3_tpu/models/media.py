@@ -217,7 +217,7 @@ def sample_free_flight(sigma_t, u, channel_u):
     Returns (t, channel index)."""
     ch = jnp.clip((channel_u * 3).astype(jnp.int32), 0, 2)
     s = jnp.take_along_axis(sigma_t, ch[..., None], -1)[..., 0]
-    t = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / jnp.maximum(s, 1e-20)
+    t = m.safe_div(-jnp.log(jnp.maximum(1.0 - u, 1e-20)), s)
     return t, ch
 
 

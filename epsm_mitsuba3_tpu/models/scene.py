@@ -88,18 +88,22 @@ class Scene:
     static: SceneStatic = static_field(default=None)
 
     # -- ray queries (scene.cpp:116-142) ------------------------------------
-    def ray_intersect_preliminary(self, ray: Ray):
+    def ray_intersect_preliminary(self, ray: Ray, coherent: bool = False):
+        """``coherent``: wavefront hint (scene.cpp:127 / prb.py:386
+        ``coherent=True`` for camera rays) — selects the Pallas packet
+        geometry; semantics are identical either way."""
         from ..ops import intersect as I
         from ..ops import accel
-        pi = accel.ray_intersect(self, ray)
+        pi = accel.ray_intersect(self, ray, coherent=coherent)
         if self.sph_data is not None:
             from ..ops import quadric
             pi = quadric.merge_spheres(self, ray, pi)
         return pi
 
-    def ray_intersect(self, ray: Ray, ray_flags: int = RayFlags.All):
+    def ray_intersect(self, ray: Ray, ray_flags: int = RayFlags.All,
+                      coherent: bool = False):
         from ..ops import intersect as I
-        pi = self.ray_intersect_preliminary(ray)
+        pi = self.ray_intersect_preliminary(ray, coherent=coherent)
         return I.compute_surface_interaction(self, ray, pi, ray_flags)
 
     def ray_test(self, ray: Ray):
@@ -471,6 +475,10 @@ class _Builder:
             "clearcoat": float(p.get("clearcoat", 0.0)),
             "clearcoat_gloss": float(p.get("clearcoat_gloss", 1.0)),
             "specular": float(p.get("specular", 0.5)),
+            # principledthin extras (src/bsdfs/principledthin.cpp:157-186)
+            "spec_trans": float(p.get("spec_trans", 0.0)),
+            "diff_trans": float(p.get("diff_trans", 0.0)),
+            "flatness": float(p.get("flatness", 0.0)),
             "blend_a": blend_a,
             "blend_b": blend_b,
             "blend_weight": float(p.get("weight", 0.5))

@@ -34,7 +34,7 @@ def _use_pallas_bvh(scene, ray) -> bool:
             and ray.o.shape[0] >= BLOCK_RAYS)
 
 
-def ray_intersect(scene, ray):
+def ray_intersect(scene, ray, coherent: bool = False):
     if use_brute_force(scene):
         if _on_tpu() and ray.o.shape[0] >= 4096:
             from . import pallas_intersect as PI
@@ -42,12 +42,14 @@ def ray_intersect(scene, ray):
         return I.ray_intersect_brute(ray, scene.vertices, scene.faces)
     if _use_pallas_bvh(scene, ray):
         from . import pallas_traverse as PT
-        return PT.bvh_ray_intersect_pallas(scene, ray)
+        return PT.bvh_ray_intersect_pallas(scene, ray, coherent=coherent)
     from . import traverse as T
     return T.bvh_ray_intersect(scene, ray)
 
 
-def ray_test(scene, ray):
+def ray_test(scene, ray, coherent: bool = True):
+    # NEE shadow wavefronts converge on emitters: direction-coherent, so
+    # they keep the large packet geometry by default
     if use_brute_force(scene):
         if _on_tpu() and ray.o.shape[0] >= 4096:
             from . import pallas_intersect as PI
@@ -55,6 +57,6 @@ def ray_test(scene, ray):
         return I.ray_test_brute(ray, scene.vertices, scene.faces)
     if _use_pallas_bvh(scene, ray):
         from . import pallas_traverse as PT
-        return PT.bvh_ray_test_pallas(scene, ray)
+        return PT.bvh_ray_test_pallas(scene, ray, coherent=coherent)
     from . import traverse as T
     return T.bvh_ray_test(scene, ray)

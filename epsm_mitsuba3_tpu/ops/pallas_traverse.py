@@ -51,13 +51,18 @@ from .bvh import MAX_LEAF4
 
 import os as _os
 
-# block geometry: env-tunable so perf sweeps on real hardware need no code
-# edits (PALLAS_BLOCK_SUB sublane rows of 128 lanes per packet).  Smaller
+# block geometry: per-call parameters with env-tunable defaults
+# (PALLAS_BLOCK_SUB sublane rows of 128 lanes per packet).  Smaller
 # packets traverse tighter node sets (less redundant work on incoherent
-# rays) but pay more scalar pops total; 32 was the round-2 sweet spot on
-# v5e for the 64k-tri bench scene.
+# rays) but pay more scalar pops total.  The dispatch layer picks a
+# geometry per wavefront *coherence class*: camera/NEE waves share one
+# node set per packet and want large packets; post-bounce waves want
+# small ones (the union of subtrees a 4096-ray incoherent packet touches
+# approaches the whole tree).
 BLOCK_SUB = int(_os.environ.get("PALLAS_BLOCK_SUB", 32))
-BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step
+#: packet rows for incoherent (bounce) wavefronts
+BLOCK_SUB_BOUNCE = int(_os.environ.get("PALLAS_BLOCK_SUB_BOUNCE", 8))
+BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step (coherent default)
 SUB_CULL = int(_os.environ.get("PALLAS_SUB_CULL", 8))
 STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
@@ -147,7 +152,8 @@ def _traverse_kernel(nodes_ref, tri_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      maxt_ref,
                      t_ref, u_ref, v_ref, slot_ref,
-                     stack_ref, key_ref, tmax_ref, npush_ref):
+                     stack_ref, key_ref, tmax_ref, npush_ref,
+                     sub_cull=SUB_CULL):
     ox = ox_ref[:, :]
     oy = oy_ref[:, :]
     oz = oz_ref[:, :]
@@ -204,7 +210,7 @@ def _traverse_kernel(nodes_ref, tri_ref,
                     tris = [_fetch(tri_ref,
                                    jnp.minimum(cid + j, max_tri_slot))
                             for j in range(MAX_LEAF4)]
-                    for r0 in range(0, ox.shape[0], SUB_CULL):
+                    for r0 in range(0, ox.shape[0], sub_cull):
                         r1 = r0 + SUB_CULL
 
                         @pl.when(jnp.any(hit[r0:r1]))
@@ -263,7 +269,7 @@ def _anyhit_kernel(nodes_ref, tri_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    maxt_ref,
                    occ_ref,
-                   stack_ref):
+                   stack_ref, sub_cull=SUB_CULL):
     """Occlusion-only traversal (rtcOccluded16 analog): no hit record
     bookkeeping, prunes against the fixed ray extent, and the whole block
     exits as soon as every lane is occluded."""
@@ -307,7 +313,7 @@ def _anyhit_kernel(nodes_ref, tri_ref,
             def _(cid=cid, cnt_i=cnt_i, hit=hit):
                 tris = [_fetch(tri_ref, jnp.minimum(cid + j, max_tri_slot))
                         for j in range(MAX_LEAF4)]
-                for r0 in range(0, ox.shape[0], SUB_CULL):
+                for r0 in range(0, ox.shape[0], sub_cull):
                     r1 = r0 + SUB_CULL
 
                     @pl.when(jnp.any(hit[r0:r1]))
@@ -344,15 +350,17 @@ def _pack_component_major(arr2, comps):
     return a.reshape(T, 128, comps).transpose(0, 2, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
+                                               "sub_cull"))
+def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
+         block_sub=BLOCK_SUB, sub_cull=SUB_CULL):
     M = ox.shape[0]                       # (M, 128)
-    grid = M // BLOCK_SUB
-    ray_spec = pl.BlockSpec((BLOCK_SUB, 128), lambda i: (i, 0),
+    grid = M // block_sub
+    ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _traverse_kernel,
+        functools.partial(_traverse_kernel, sub_cull=sub_cull),
         grid=(grid,),
         in_specs=[full, full] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
@@ -371,16 +379,17 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
+                                               "sub_cull"))
 def _run_anyhit(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
-                interpret=False):
+                interpret=False, block_sub=BLOCK_SUB, sub_cull=SUB_CULL):
     M = ox.shape[0]                       # (M, 128)
-    grid = M // BLOCK_SUB
-    ray_spec = pl.BlockSpec((BLOCK_SUB, 128), lambda i: (i, 0),
+    grid = M // block_sub
+    ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _anyhit_kernel,
+        functools.partial(_anyhit_kernel, sub_cull=sub_cull),
         grid=(grid,),
         in_specs=[full, full] + [ray_spec] * 7,
         out_specs=ray_spec,
@@ -457,11 +466,11 @@ def sort_keys(o, d, bmin, bmax, maxt=None):
     return key
 
 
-def _prep_rays(ray: Ray):
+def _prep_rays(ray: Ray, block_rays=BLOCK_RAYS):
     o = jax.lax.stop_gradient(ray.o)
     d = jax.lax.stop_gradient(ray.d)
     n = o.shape[0]
-    n_pad = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+    n_pad = -(-n // block_rays) * block_rays
     maxt = jnp.where(jnp.isfinite(ray.maxt), ray.maxt,
                      jnp.full((n,), jnp.float32(3.0e38)))
 
@@ -478,8 +487,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def bvh_ray_intersect_pallas(scene, ray: Ray,
-                             sort: bool = True) -> PreliminaryIntersection:
+def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
+                             coherent: bool = False,
+                             block_sub: int = None,
+                             sub_cull: int = None
+                             ) -> PreliminaryIntersection:
+    """``coherent``: wavefront-coherence hint from the integrator (the
+    analog of the reference's ``scene.ray_intersect_preliminary(...,
+    coherent=True)`` for camera rays, prb.py:386): selects the packet
+    geometry — large packets for coherent waves, small ones for bounce
+    waves whose per-packet subtree unions explode."""
+    if block_sub is None:
+        block_sub = BLOCK_SUB if coherent else BLOCK_SUB_BOUNCE
+    if sub_cull is None:
+        sub_cull = min(SUB_CULL, block_sub)
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
     o = jax.lax.stop_gradient(ray.o)
     dvec = jax.lax.stop_gradient(ray.d)
@@ -501,9 +522,10 @@ def bvh_ray_intersect_pallas(scene, ray: Ray,
              dvec[:, 0], dvec[:, 1], dvec[:, 2], maxt_in), num_keys=1)
         ray = Ray.make(jnp.stack([ox0, oy0, oz0], -1),
                        jnp.stack([dx0, dy0, dz0], -1), maxt=mt0)
-    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray)
+    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray, block_sub * 128)
     t, u, v, slot = _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
-                         interpret=_interpret())
+                         interpret=_interpret(), block_sub=block_sub,
+                         sub_cull=sub_cull)
     t = t.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]
@@ -520,9 +542,15 @@ def bvh_ray_intersect_pallas(scene, ray: Ray,
     )
 
 
-def bvh_ray_test_pallas(scene, ray: Ray, sort: bool = True) -> jnp.ndarray:
+def bvh_ray_test_pallas(scene, ray: Ray, sort: bool = True,
+                        coherent: bool = False, block_sub: int = None,
+                        sub_cull: int = None) -> jnp.ndarray:
     """Occlusion query via the dedicated any-hit kernel (no hit-record
     bookkeeping, fixed-extent pruning, all-occluded block early exit)."""
+    if block_sub is None:
+        block_sub = BLOCK_SUB if coherent else BLOCK_SUB_BOUNCE
+    if sub_cull is None:
+        sub_cull = min(SUB_CULL, block_sub)
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
     o = jax.lax.stop_gradient(ray.o)
     dvec = jax.lax.stop_gradient(ray.d)
@@ -540,9 +568,10 @@ def bvh_ray_test_pallas(scene, ray: Ray, sort: bool = True) -> jnp.ndarray:
              dvec[:, 0], dvec[:, 1], dvec[:, 2], maxt_in), num_keys=1)
         ray = Ray.make(jnp.stack([ox0, oy0, oz0], -1),
                        jnp.stack([dx0, dy0, dz0], -1), maxt=mt0)
-    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray)
+    ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray, block_sub * 128)
     occ = _run_anyhit(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
-                      interpret=_interpret())
+                      interpret=_interpret(), block_sub=block_sub,
+                      sub_cull=sub_cull)
     occ = occ.reshape(-1)[:n]
     if sort:
         _, occ = jax.lax.sort((idx_s, occ), num_keys=1)

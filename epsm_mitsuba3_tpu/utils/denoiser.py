@@ -57,7 +57,6 @@ def denoise(color, normals=None, albedo=None, variance=None,
         acc = jnp.zeros_like(out)
         vacc = jnp.zeros(out.shape[:2] + (1,), out.dtype)
         wsum = jnp.zeros(out.shape[:2] + (1,), out.dtype)
-        w2sum = jnp.zeros(out.shape[:2] + (1,), out.dtype)
         if var is not None:
             lum = jnp.mean(out, -1, keepdims=True)
             noise = jnp.sqrt(jnp.maximum(_gauss3(var), 0.0))
@@ -85,7 +84,6 @@ def denoise(color, normals=None, albedo=None, variance=None,
                 wsum = wsum + wgt
                 if var is not None:
                     vacc = vacc + _shift2(var, dy, dx) * wgt ** 2
-                    w2sum = w2sum + wgt ** 2
         out = acc / jnp.maximum(wsum, 1e-8)
         if var is not None:
             var = vacc / jnp.maximum(wsum ** 2, 1e-12)
