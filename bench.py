@@ -139,6 +139,49 @@ def _roofline(scene, res, max_depth):
             "device": kind}
 
 
+def _bench_manifold_iter(scene_dict, match_res=128, spp=8, max_depth=6,
+                         iters=4):
+    """One full EPSM ``manifold`` optimization iteration on the BVH scene
+    (VERDICT r3 Next #3): 5-channel logged forward render + debiased
+    Sinkhorn matching at ``match_res``² + the constraint-solve backward
+    (stacked jacrev + banded solves + scatter injection), exactly the
+    work `app/optim.py:88-100` does per iteration (≙ EPSM/optim.py:110-157;
+    the reference's EPSM backward renders a 128² sensor at spp 8,
+    epsm.py:142-145).  Returns ms/iteration."""
+    import jax
+    import jax.numpy as jnp
+    import epsm_mitsuba3_tpu as mi
+    from epsm_mitsuba3_tpu.ops.sinkhorn import Matcher
+
+    scene = mi.load_dict(scene_dict)
+    integrator = {"type": "manifold", "max_depth": max_depth}
+    matcher = Matcher(match_res)
+    res = scene.sensors[0].width
+
+    img_ref = mi.render(scene, spp=spp, seed=123, integrator={
+        "type": "path", "max_depth": max_depth})
+    gt_low = jax.lax.stop_gradient(
+        jnp.asarray(img_ref[..., :3]).reshape(-1, 3))
+
+    def loss(theta, seed):
+        v = scene.vertices + theta * jnp.asarray([1.0, 0.0, 0.0])
+        sc = mi.scene_with_vertices(scene, v)
+        img = mi.render(sc, spp=spp, seed=seed, integrator=integrator)
+        img_low = jax.lax.stop_gradient(img[..., :3].reshape(-1, 3))
+        g5 = matcher.match_Sinkhorn(img_low, gt_low)
+        g5 = jax.lax.stop_gradient(g5.reshape(res, res, 5))
+        return jnp.sum(img * g5)
+
+    grad_fn = jax.jit(jax.grad(loss))
+    g = grad_fn(jnp.asarray(0.01), jnp.uint32(0))       # compile
+    g.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        g = grad_fn(jnp.asarray(0.01), jnp.uint32(i + 1))
+    g.block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     from scenes import cornell_box, cornell_box_mesh
 
@@ -173,6 +216,13 @@ def main():
             vs_baseline = round(bvh_mrays / rl["sol_mrays"], 4)
     except Exception as e:    # never lose the primary metric
         extra = {"bvh_scene_error": str(e)[:200]}
+
+    try:
+        extra["manifold_iter_ms"] = round(_bench_manifold_iter(
+            cornell_box_mesh(res=128, spp=8, max_depth=max_depth),
+            match_res=128, spp=8, max_depth=max_depth), 1)
+    except Exception as e:
+        extra["manifold_iter_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": (f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp "
