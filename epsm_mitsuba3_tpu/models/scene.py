@@ -911,22 +911,22 @@ class _Builder:
         if not self.sensors:
             self.add_sensor({"type": "perspective"})
         n_b = len(self.bsdf_rows)
-        btable = bsdf_mod.empty_table(n_b)
+        # one batched device_get per table: np.asarray on individual jnp
+        # columns costs a full host round trip EACH (~0.5 s over a
+        # tunneled TPU), which made scene builds take ~30 s
+        btable = {k: np.array(v) for k, v in
+                  jax.device_get(bsdf_mod.empty_table(n_b)).items()}
         for i, row in enumerate(self.bsdf_rows):
             for k, val in row.items():
-                arr = np.asarray(btable[k])
-                arr = np.array(arr)
-                arr[i] = val
-                btable[k] = arr
+                btable[k][i] = val
         btable = {k: jnp.asarray(v) for k, v in btable.items()}
 
         n_e = max(len(self.em_rows), 1)
-        etable = em_mod.empty_table(n_e)
+        etable = {k: np.array(v) for k, v in
+                  jax.device_get(em_mod.empty_table(n_e)).items()}
         for i, row in enumerate(self.em_rows):
             for k, val in row.items():
-                arr = np.array(np.asarray(etable[k]))
-                arr[i] = val
-                etable[k] = arr
+                etable[k][i] = val
         etable = {k: jnp.asarray(v) for k, v in etable.items()}
         if not self.em_rows:
             # no emitter: keep one dummy constant-black emitter slot
@@ -968,12 +968,11 @@ class _Builder:
         )
         from . import media as med_mod
         n_m = max(len(self.media_rows), 1)
-        mtable = med_mod.empty_table(n_m)
+        mtable = {k: np.array(v) for k, v in
+                  jax.device_get(med_mod.empty_table(n_m)).items()}
         for i, row in enumerate(self.media_rows):
             for k, val in row.items():
-                arr = np.array(np.asarray(mtable[k]))
-                arr[i] = val
-                mtable[k] = arr
+                mtable[k][i] = val
         mtable = {k: jnp.asarray(v) for k, v in mtable.items()}
 
         vertices = np.concatenate(self.vertices)

@@ -60,13 +60,21 @@ import os as _os
 # small ones (the union of subtrees a 4096-ray incoherent packet touches
 # approaches the whole tree).
 BLOCK_SUB = int(_os.environ.get("PALLAS_BLOCK_SUB", 32))
-#: packet rows for incoherent (bounce) wavefronts
-BLOCK_SUB_BOUNCE = int(_os.environ.get("PALLAS_BLOCK_SUB_BOUNCE", 8))
+#: packet rows for incoherent (bounce) wavefronts.  Measured on the 64k-tri
+#: bench scene (v5e, 1M rays, results/trav_ms_bench.py): with the 6-D
+#: Morton sort the single-stack b32 kernel wins BOTH regimes (coherent
+#: 52, incoherent 68 Mrays/s) — smaller bounce packets and the
+#: multi-stack interleave are strictly worse (b8: 41/63; ms4: 19/64)
+#: AND each extra block geometry costs its own ~80 s Mosaic compile, so
+#: the default is ONE variant for every wave.
+BLOCK_SUB_BOUNCE = int(_os.environ.get("PALLAS_BLOCK_SUB_BOUNCE", BLOCK_SUB))
 BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step (coherent default)
 SUB_CULL = int(_os.environ.get("PALLAS_SUB_CULL", 8))
 #: independent interleaved stacks per block for incoherent closest-hit
-#: waves (0/1 = classic single-stack kernel)
-MULTI_STACK = int(_os.environ.get("PALLAS_MULTI_STACK", 4))
+#: waves (0/1 = classic single-stack kernel).  Default OFF: measured a
+#: runtime loss (see BLOCK_SUB_BOUNCE note) — the K sub-packet bodies
+#: serialize in Mosaic rather than pipelining their scalar pop latency.
+MULTI_STACK = int(_os.environ.get("PALLAS_MULTI_STACK", 0))
 STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
 PALLAS_BVH_MAX_TRIS = 120_000
