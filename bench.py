@@ -35,6 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
+# persistent compile cache: the render megakernels are multi-minute XLA
+# compiles; cache them across bench invocations (same mechanism the test
+# suite uses, tests/conftest.py)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # HBM bandwidth by TPU generation (public chip specs), bytes/s
 _HBM_BW = {
     "v4": 1.228e12,
@@ -108,35 +118,69 @@ def _bench_scene(scene_dict, res, spp_chunk, n_chunks, max_depth):
 
 
 def _roofline(scene, res, max_depth):
-    """First-principles HBM roofline for the BVH workload: instrument the
-    actual traversal on this scene's camera + bounce rays, convert mean
-    (node pops, tri tests) per ray to bytes, divide into device HBM BW."""
-    import jax
+    """First-principles roofline for the BVH workload, instrumented
+    host-side (ops/trav_stats.py — zero XLA compile cost) on TWO ray
+    classes (VERDICT r3 Next #4):
+
+      * ``coherent``  — spp-1 camera rays in Morton dispatch order;
+      * ``incoherent``— random-direction bounce rays from the camera
+        hit points (the post-bounce regime).
+
+    Each row carries the per-ray *optimal* work (ordered per-lane descent
+    with t-cull: the roofline denominator) AND the node pops the packet
+    kernel actually performs per 4096-ray block (every lane participates
+    in every pop, so pops/packet IS the per-ray effective pop count);
+    ``redundancy`` is their ratio — the union-traversal inflation the old
+    camera-only roofline silently ignored.  ``sol_mrays`` keeps the HBM
+    byte bound on per-ray-optimal work; ``sol_mrays_effective`` divides
+    that by the measured redundancy: the bound for THIS kernel design."""
     import jax.numpy as jnp
     import numpy as np
     from epsm_mitsuba3_tpu.integrators import common
     from epsm_mitsuba3_tpu.models import samplers as smp
-    from epsm_mitsuba3_tpu.ops import traverse as trv
+    from epsm_mitsuba3_tpu.ops import trav_stats as TS
 
     if scene.bvh is None:
         return None
     sensor = scene.sensors[0]
-    spp = 1
-    n = sensor.width * sensor.height * spp
+    n = sensor.width * sensor.height
     sampler = smp.seed(jnp.uint32(7), n, kind=scene.static.sampler_kind,
-                       spp=spp)
-    sampler, ray, _, _ = common.sample_rays(sensor, sampler, spp)
-    pops, tris = jax.jit(trv.traverse_stats, static_argnums=())(
-        scene.bvh, scene.vertices, scene.faces, ray)
-    pops, tris = float(pops), float(tris)
-    bytes_per_ray = pops * _NODE_BYTES + tris * _TRI_BYTES
+                       spp=1)
+    sampler, ray, _, _ = common.sample_rays(sensor, sampler, 1)
+    o = np.asarray(ray.o)
+    d = np.asarray(ray.d)
+    root = np.asarray(scene.bvh.c4_node)[0]
+    bmin = np.asarray(scene.bvh.bmin)[root].min(0)
+    bmax = np.asarray(scene.bvh.bmax)[root].max(0)
+    sub = min(n, 1 << 16)
     bw, kind = _device_bw()
-    sol_mrays = bw / bytes_per_ray / 1e6
-    return {"sol_mrays": round(sol_mrays, 1),
-            "node_pops_per_ray": round(pops, 1),
-            "tri_tests_per_ray": round(tris, 1),
-            "bytes_per_ray": round(bytes_per_ray, 1),
-            "device": kind}
+
+    def row(o_, d_):
+        o_s, d_s = TS.morton_sort_np(o_, d_, bmin, bmax)
+        pops, tris, t, _ = TS.ray_stats(scene.bvh, scene.vertices,
+                                        scene.faces, o_s, d_s)
+        ppops, _ = TS.packet_stats(scene.bvh, scene.vertices, scene.faces,
+                                   o_s, d_s, block=4096, max_packets=8)
+        bytes_per_ray = pops * _NODE_BYTES + tris * _TRI_BYTES
+        red = ppops / max(pops, 1e-9)
+        sol = bw / bytes_per_ray / 1e6
+        return {"node_pops_per_ray": round(pops, 1),
+                "tri_tests_per_ray": round(tris, 1),
+                "packet_pops_per_ray": round(ppops, 1),
+                "redundancy": round(red, 1),
+                "bytes_per_ray": round(bytes_per_ray, 1),
+                "sol_mrays": round(sol, 1),
+                "sol_mrays_effective": round(sol / max(red, 1.0), 1)}, t
+
+    coh, t = row(o[:sub], d[:sub])
+    # bounce class: random directions from the camera hit points
+    rng = np.random.default_rng(11)
+    hit_t = np.where(np.isfinite(t), t, 1.0)[:, None]
+    o_b = (o[:sub] + 0.999 * hit_t * d[:sub]).astype(np.float32)
+    v = rng.normal(size=(sub, 3))
+    d_b = (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(np.float32)
+    inc, _ = row(o_b, d_b)
+    return {"coherent": coh, "incoherent": inc, "device": kind}
 
 
 def _bench_manifold_iter(scene_dict, match_res=128, spp=8, max_depth=6,
@@ -201,7 +245,9 @@ def main():
     extra = {}
     vs_baseline = None
     try:
-        bvh_chunk = int(os.environ.get("BENCH_SPP_CHUNK_BVH", 16))
+        # spp 8 chunks: the fwd+bwd program at spp 16 peaks at ~16.7 GB of
+        # HBO temp buffers — past the v5e's 15.75 GB
+        bvh_chunk = int(os.environ.get("BENCH_SPP_CHUNK_BVH", 8))
         bvh_chunks = max(1, spp_total // bvh_chunk // 4)
         bvh_mrays, bvh_scene, _ = _bench_scene(
             cornell_box_mesh(res=res, spp=bvh_chunk, max_depth=max_depth),
@@ -211,9 +257,9 @@ def main():
         rl = _roofline(bvh_scene, res, max_depth)
         if rl:
             extra["roofline"] = rl
-            extra["pct_of_roofline_bvh"] = round(
-                100.0 * bvh_mrays / rl["sol_mrays"], 2)
-            vs_baseline = round(bvh_mrays / rl["sol_mrays"], 4)
+            sol = rl["coherent"]["sol_mrays"]
+            extra["pct_of_roofline_bvh"] = round(100.0 * bvh_mrays / sol, 2)
+            vs_baseline = round(bvh_mrays / sol, 4)
     except Exception as e:    # never lose the primary metric
         extra = {"bvh_scene_error": str(e)[:200]}
 

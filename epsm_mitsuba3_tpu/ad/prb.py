@@ -277,8 +277,15 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
         st2 = st2._replace(L=L_remaining)
         return (st2, grads, it + 1), None
 
+    # unroll trade-off: unrolling lets XLA specialize/pipeline across
+    # bounces, but the body already contains a full jax.grad of the
+    # bounce contribution — with per-bounce reparameterization (2
+    # reparam calls x num_rays aux traversals) the unrolled module took
+    # >8 min of XLA compile and OOM'd HBM at the bench wavefront, so the
+    # reparam family compiles the body once
     (st, grads, _), _ = jax.lax.scan(body, (st, grads0, it0), trace,
-                                     length=max_depth, unroll=True)
+                                     length=max_depth,
+                                     unroll=(reparam_cfg is None))
     return grads
 
 

@@ -124,31 +124,39 @@ def reparameterize_ray(scene, sampler, ray: Ray, active,
     tangential components (reference ``reparam_antithetic``)."""
     d_det = jax.lax.stop_gradient(ray.d)
     s_, t_ = m.coordinate_system(d_det)
-    Z = 0.0
-    dZ = 0.0
-    V = 0.0
-    div_lhs = 0.0
-    s2 = None
     pairs = (num_rays + 1) // 2 if antithetic else num_rays
-    draw = 0
-    for i in range(num_rays):
-        if not antithetic or (i % 2 == 0):
-            sampler, s2 = smp.next_2d(sampler)
-            # stratify the vMF radius variable across the aux loop: the
-            # heavy tail of the harmonic weights (w ~ B^-exponent near
-            # silhouettes) makes the warp estimate dominated by rare
-            # wide-radius draws; jittered strata cut that variance at
-            # zero cost (the reference draws i.i.d., reparam.py:189)
-            sy = (jnp.float32(draw) + s2[..., 1]) / jnp.float32(pairs)
-            s2 = jnp.stack([s2[..., 0], sy], -1)
-            draw += 1
-        Z_i, dZ_i, V_i, div_i = _sample_warp_field(
-            scene, s2, ray, (s_, t_), kappa, exponent,
-            flip=antithetic and (i % 2 == 1))
-        Z = Z + Z_i
-        dZ = dZ + dZ_i
-        V = V + V_i
-        div_lhs = div_lhs + div_i
+    n = ray.o.shape[0]
+    zeros3 = jnp.zeros((n, 3), d_det.dtype)
+    zeros1 = jnp.zeros((n,), d_det.dtype)
+
+    # lax.scan over aux draws: the body (one or two full aux-ray scene
+    # traversals) compiles ONCE regardless of num_rays — the unrolled
+    # python loop made prb_reparam's backward module an 8-minute XLA
+    # compile at 16 rays and precluded the reference's 64-ray setting
+    # (test_ad_integrators.py:581-609 reparam_rays=64) outright.
+    def body(carry, i):
+        sampler, Z, dZ, V, div_lhs = carry
+        sampler, s2 = smp.next_2d(sampler)
+        # stratify the vMF radius variable across the aux loop: the
+        # heavy tail of the harmonic weights (w ~ B^-exponent near
+        # silhouettes) makes the warp estimate dominated by rare
+        # wide-radius draws; jittered strata cut that variance at
+        # zero cost (the reference draws i.i.d., reparam.py:189)
+        sy = (i.astype(s2.dtype) + s2[..., 1]) / jnp.float32(pairs)
+        s2 = jnp.stack([s2[..., 0], sy], -1)
+        flips = (False, True) if antithetic else (False,)
+        for flip in flips:
+            Z_i, dZ_i, V_i, div_i = _sample_warp_field(
+                scene, s2, ray, (s_, t_), kappa, exponent, flip=flip)
+            Z = Z + Z_i
+            dZ = dZ + dZ_i
+            V = V + V_i
+            div_lhs = div_lhs + div_i
+        return (sampler, Z, dZ, V, div_lhs), None
+
+    (sampler, Z, dZ, V, div_lhs), _ = jax.lax.scan(
+        body, (sampler, zeros1, zeros3, zeros3, zeros1),
+        jnp.arange(pairs, dtype=jnp.int32))
 
     inv_Z = 1.0 / jnp.maximum(jax.lax.stop_gradient(Z), 1e-8)
     V_theta = V * inv_Z[..., None]

@@ -75,6 +75,10 @@ SUB_CULL = int(_os.environ.get("PALLAS_SUB_CULL", 8))
 #: runtime loss (see BLOCK_SUB_BOUNCE note) — the K sub-packet bodies
 #: serialize in Mosaic rather than pipelining their scalar pop latency.
 MULTI_STACK = int(_os.environ.get("PALLAS_MULTI_STACK", 0))
+#: nodes popped from the shared stack per while-loop iteration (the
+#: single-pop chain measures ~1.2 us/pop on v5e — pure scalar latency);
+#: 0/1 = classic single-pop kernel
+MULTI_POP = int(_os.environ.get("PALLAS_MULTI_POP", 0))
 STACK_SIZE = 160
 #: above this triangle count the (nodes + tris) VMEM stores stop fitting
 PALLAS_BVH_MAX_TRIS = 120_000
@@ -272,6 +276,142 @@ def _traverse_kernel(nodes_ref, tri_ref,
             npush_ref[0] = pos
 
         return sp + npush_ref[0]
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, 1)
+
+
+def _traverse_kernel_mp(nodes_ref, tri_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        maxt_ref,
+                        t_ref, u_ref, v_ref, slot_ref,
+                        stack_ref, key_ref, tmax_ref, npush_ref,
+                        sub_cull=SUB_CULL, multi_pop=4):
+    """Multi-POP packet traversal: pop up to ``multi_pop`` nodes from the
+    ONE shared stack per while-loop iteration and process them all.
+
+    The single-pop kernel measures ~1.2 us per node pop on v5e — a
+    serial SMEM-read -> node-fetch -> slab -> push dependency chain the
+    VPU idles behind (the vector work per pop is tiny once sub-row
+    culling kicks in).  The popped entries' fetch+slab+leaf work is
+    mutually independent, so Mosaic can overlap their latencies, while —
+    unlike the failed multi-stack variant (which split the block into
+    K sub-packets and starved the VPU) — every popped node still tests
+    ALL the block's lanes at full vector width.
+
+    Costs vs single-pop: pops within a batch can't benefit from each
+    other's tmax shrink or ordering (the stale cull still applies with
+    the key captured at push time), so total pops rise slightly; the
+    win is the ~P-fold shortening of the serial chain."""
+    ox = ox_ref[:, :]
+    oy = oy_ref[:, :]
+    oz = oz_ref[:, :]
+    dx = dx_ref[:, :]
+    dy = dy_ref[:, :]
+    dz = dz_ref[:, :]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-12, c,
+                               jnp.where(c >= 0, 1e-12, -1e-12))
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    t_ref[:, :] = maxt_ref[:, :]
+    u_ref[:, :] = jnp.zeros_like(ox)
+    v_ref[:, :] = jnp.zeros_like(ox)
+    slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
+    stack_ref[0] = 0
+    key_ref[0] = jnp.float32(0.0)
+    tmax_ref[0] = jnp.max(maxt_ref[:, :])
+    max_tri_slot = tri_ref.shape[0] * 128 - 1
+    P = multi_pop
+
+    def body(sp):
+        npop = jnp.minimum(sp, P)
+        sp0 = sp - npop
+        npush_ref[0] = jnp.int32(0)
+        # read the whole batch BEFORE processing: pushes recycle the
+        # popped stack region (they start at sp0), so reading lazily
+        # would let node i's pushes clobber entries i+1.. still to pop
+        batch = [(stack_ref[jnp.maximum(sp - 1 - i, 0)],
+                  key_ref[jnp.maximum(sp - 1 - i, 0)]) for i in range(P)]
+        for i in range(P):
+            node, nkey = batch[i]
+            ok_i = i < npop
+
+            @pl.when(ok_i)
+            def _(node=node, nkey=nkey):
+                live = nkey < tmax_ref[0]
+
+                @pl.when(live)
+                def _():
+                    rec = _fetch(nodes_ref, node)
+                    slabs = _slab4(rec, ox, oy, oz, ix, iy, iz)
+                    t_best = t_ref[:, :]
+                    inner = []
+                    any_leaf_hit = jnp.bool_(False)
+                    for k in range(4):
+                        cnt = rec[4 + k, 0]
+                        cid = rec[k, 0].astype(jnp.int32)
+                        near, far = slabs[k]
+                        hit = (near <= far) & (far > 1e-6) & (near < t_best)
+                        anyk = jnp.any(hit)
+                        is_leaf = cnt > 0.5
+                        cnt_i = cnt.astype(jnp.int32)
+
+                        @pl.when(anyk & is_leaf)
+                        def _(cid=cid, cnt_i=cnt_i, hit=hit):
+                            tris = [_fetch(tri_ref,
+                                           jnp.minimum(cid + j,
+                                                       max_tri_slot))
+                                    for j in range(MAX_LEAF4)]
+                            for r0 in range(0, ox.shape[0], sub_cull):
+                                r1 = r0 + sub_cull
+
+                                @pl.when(jnp.any(hit[r0:r1]))
+                                def _(r0=r0, r1=r1):
+                                    tb = t_ref[r0:r1, :]
+                                    ub = u_ref[r0:r1, :]
+                                    vb = v_ref[r0:r1, :]
+                                    sb = slot_ref[r0:r1, :]
+                                    for j in range(MAX_LEAF4):
+                                        t, u, v, h = _mt(
+                                            ox[r0:r1], oy[r0:r1],
+                                            oz[r0:r1], dx[r0:r1],
+                                            dy[r0:r1], dz[r0:r1], tris[j])
+                                        h = h & (t > 1e-6) & (t < tb) & \
+                                            (j < cnt_i)
+                                        tb = jnp.where(h, t, tb)
+                                        ub = jnp.where(h, u, ub)
+                                        vb = jnp.where(h, v, vb)
+                                        sb = jnp.where(h, cid + j, sb)
+                                    t_ref[r0:r1, :] = tb
+                                    u_ref[r0:r1, :] = ub
+                                    v_ref[r0:r1, :] = vb
+                                    slot_ref[r0:r1, :] = sb
+
+                        any_leaf_hit = any_leaf_hit | (anyk & is_leaf)
+                        kkey = jnp.min(jnp.where(hit, near, _BIG))
+                        valid = anyk & (cnt > -0.5) & (~is_leaf)
+                        inner.append((jnp.where(valid, kkey, _BIG), cid))
+
+                    @pl.when(any_leaf_hit)
+                    def _():
+                        tmax_ref[0] = jnp.max(t_ref[:, :])
+
+                    shorted = _sort4_desc(inner)
+                    pos2 = npush_ref[0]
+                    for kkey, cid in shorted:
+                        okp = (kkey < _BIG) & (sp0 + pos2 < STACK_SIZE)
+
+                        @pl.when(okp)
+                        def _(kkey=kkey, cid=cid, pos2=pos2):
+                            stack_ref[sp0 + pos2] = cid
+                            key_ref[sp0 + pos2] = kkey
+
+                        pos2 = pos2 + jnp.where(okp, 1, 0)
+                    npush_ref[0] = pos2
+
+        return sp0 + npush_ref[0]
 
     jax.lax.while_loop(lambda sp: sp > 0, body, 1)
 
@@ -501,9 +641,11 @@ def _pack_component_major(arr2, comps):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
-                                               "sub_cull", "multi_stack"))
+                                               "sub_cull", "multi_stack",
+                                               "multi_pop"))
 def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
-         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_stack=0):
+         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_stack=0,
+         multi_pop=0):
     M = ox.shape[0]                       # (M, 128)
     grid = M // block_sub
     ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
@@ -512,6 +654,10 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
     if multi_stack > 1:
         kern = functools.partial(_traverse_kernel_ms, n_stacks=multi_stack)
         n_slots = multi_stack
+    elif multi_pop > 1:
+        kern = functools.partial(_traverse_kernel_mp, sub_cull=sub_cull,
+                                 multi_pop=multi_pop)
+        n_slots = 1
     else:
         kern = functools.partial(_traverse_kernel, sub_cull=sub_cull)
         n_slots = 1
@@ -650,6 +796,7 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
                              block_sub: int = None,
                              sub_cull: int = None,
                              multi_stack: int = None,
+                             multi_pop: int = None,
                              ) -> PreliminaryIntersection:
     """``coherent``: wavefront-coherence hint from the integrator (the
     analog of the reference's ``scene.ray_intersect_preliminary(...,
@@ -662,6 +809,8 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
         sub_cull = min(SUB_CULL, block_sub)
     if multi_stack is None:
         multi_stack = 0 if coherent else MULTI_STACK
+    if multi_pop is None:
+        multi_pop = MULTI_POP
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
     o = jax.lax.stop_gradient(ray.o)
     dvec = jax.lax.stop_gradient(ray.d)
@@ -686,7 +835,8 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
     ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray, block_sub * 128)
     t, u, v, slot = _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
                          interpret=_interpret(), block_sub=block_sub,
-                         sub_cull=sub_cull, multi_stack=multi_stack)
+                         sub_cull=sub_cull, multi_stack=multi_stack,
+                         multi_pop=multi_pop)
     t = t.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]

@@ -99,8 +99,10 @@ def ray_stats(bvh, vertices, faces, o, d, leaf_size: int = 4):
             hit = hit & is_leaf & (j < count) & (t < t_best)
             t_best = np.where(hit, t, t_best)
             slot_best = np.where(hit, slot, slot_best)
-        l = rec[:, 0]
-        r = rec[:, 1]
+        # leaf rows carry (start, count) in cols 0/1 — clamp before the
+        # node-array gather (XLA clamps implicitly; numpy raises)
+        l = np.clip(rec[:, 0], 0, bmin.shape[0] - 1)
+        r = np.clip(rec[:, 1], 0, bmin.shape[0] - 1)
         hit_l, tl = _slab(o, inv_d, bmin[l], bmax[l], t_best)
         hit_r, tr_ = _slab(o, inv_d, bmin[r], bmax[r], t_best)
         hit_l &= is_inner
@@ -143,12 +145,13 @@ def packet_stats(bvh, vertices, faces, o, d, block: int = 4096,
         inv_d = 1.0 / np.where(np.abs(db) > 1e-12, db,
                                np.where(db >= 0, 1e-12, -1e-12))
         t_best = np.full(block, np.inf, np.float32)
-        stack = [(0, 0.0)]
+        stack = [(0.0, 0)]                # (entry key, node id)
         pops = 0
         tris_fetched = 0
         tmax = np.inf
         while stack:
-            node, key = stack.pop()
+            key, node = stack.pop()
+            node = int(node)
             if key >= tmax and np.isfinite(tmax):
                 continue
             pops += 1
