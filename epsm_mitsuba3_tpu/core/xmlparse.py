@@ -165,6 +165,69 @@ def parse_element(elem, params, base_dir, id_map) -> Dict:
     return d
 
 
+def _camel_to_underscore(name: str) -> str:
+    out = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if i + 1 < len(name) and c.islower() and name[i + 1].isupper():
+            out.append(c)
+            out.append("_")
+            i += 1
+            while i < len(name) and name[i].isupper():
+                out.append(name[i].lower())
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _upgrade_tree(root, version: str):
+    """Legacy-scene upgrades (xml.cpp:338-430 ``upgrade_tree``): scenes
+    declaring ``version`` < 2.0 get their pre-Mitsuba-2 conventions
+    rewritten in place — camelCase property names to underscore_case,
+    ``<lookAt>``, ``diffuseReflectance`` on diffuse BSDFs, and the old
+    ``uoffset/voffset/uscale/vscale`` texture floats folded into UV
+    scale/offset properties."""
+    try:
+        major = int(str(version).split(".")[0])
+    except (ValueError, AttributeError):
+        return
+    if major >= 2:
+        return
+    for n in root.iter():
+        if n.tag == "lookAt":
+            n.tag = "lookat"
+        if n.tag == "default":
+            continue
+        name = n.get("name")
+        if name:
+            n.set("name", _camel_to_underscore(name))
+    # diffuse_reflectance -> reflectance (on diffuse bsdfs)
+    for b in root.iter("bsdf"):
+        if b.get("type") == "diffuse":
+            for c in b:
+                if c.get("name") == "diffuse_reflectance":
+                    c.set("name", "reflectance")
+    # uoffset/... floats -> uv transform properties the texture
+    # parser understands
+    for n in root.iter():
+        uv = {c.get("name"): c for c in list(n)
+              if c.tag == "float" and c.get("name") in
+              ("uoffset", "voffset", "uscale", "vscale")}
+        if not uv:
+            continue
+        su = uv.get("uscale")
+        sv = uv.get("vscale")
+        for c in uv.values():
+            n.remove(c)
+        ET.SubElement(n, "float", {
+            "name": "uv_scale",
+            "value": su.get("value") if su is not None else (
+                sv.get("value") if sv is not None else "1")})
+
+
 def load_string(text: str, parameters: Optional[Dict[str, str]] = None,
                 base_dir: str = "."):
     """mi.load_string analog: XML text -> scene dict -> Scene."""
@@ -172,6 +235,8 @@ def load_string(text: str, parameters: Optional[Dict[str, str]] = None,
 
     params = dict(parameters or {})
     root = ET.fromstring(text)
+    if root.get("version"):
+        _upgrade_tree(root, root.get("version"))
     if root.tag != "scene":
         # single plugin (e.g. load_string of a bsdf) -> return the dict
         id_map: Dict[str, Dict] = {}

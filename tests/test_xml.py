@@ -90,3 +90,34 @@ def test_transform_chain_matches_dict_loader():
     s2, c2 = d_scene.static.vertex_ranges[0]
     v_d = np.asarray(d_scene.vertices[s2:s2 + c2])
     assert np.allclose(v_xml, v_d, atol=1e-5), (v_xml, v_d)
+
+
+def test_legacy_version_upgrade():
+    """xml.cpp:338-430 ``upgrade_tree``: a version 0.5.0 scene with
+    camelCase names, <lookAt>, and diffuseReflectance loads and renders."""
+    scene = load_string("""
+<scene version="0.5.0">
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="toWorld">
+      <lookAt origin="0,0,4" target="0,0,0" up="0,1,0"/>
+    </transform>
+    <film type="hdrfilm">
+      <integer name="width" value="16"/>
+      <integer name="height" value="16"/>
+    </film>
+  </sensor>
+  <shape type="rectangle">
+    <bsdf type="diffuse">
+      <rgb name="diffuseReflectance" value="0.7 0.2 0.2"/>
+    </bsdf>
+  </shape>
+  <emitter type="constant">
+    <rgb name="radiance" value="0.6"/>
+  </emitter>
+</scene>""")
+    img = np.asarray(mi.render(scene, spp=4))
+    assert img.shape == (16, 16, 3)
+    assert img.mean() > 0.05
+    # the red wall must come out red (reflectance name upgraded)
+    assert img[8, 8, 0] > img[8, 8, 1] * 2
