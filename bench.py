@@ -23,8 +23,14 @@ Honesty rules (VERDICT r2 Weak #2):
     caching would beat 1.0; a fraction far below 1 means the kernel, not
     the memory system, is the limiter.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": f, ...}
+Output protocol (VERDICT r4 Next #1 — the r4 bench outgrew the driver's
+budget and timed out with nothing printed): a CUMULATIVE JSON line is
+printed and flushed after EVERY section, so whatever the driver keeps
+(the last complete line) always carries every metric measured so far.
+A ``BENCH_BUDGET_S`` wall-clock guard (default 1200 s) skips remaining
+sections when the budget is nearly spent, so the process exits 0 inside
+the driver's timeout instead of being killed at rc=124.
+Section wall times go to stderr and into the JSON as ``section_s``.
 """
 import json
 import sys
@@ -170,16 +176,20 @@ def _roofline(scene, res, max_depth):
                 "redundancy": round(red, 1),
                 "bytes_per_ray": round(bytes_per_ray, 1),
                 "sol_mrays": round(sol, 1),
-                "sol_mrays_effective": round(sol / max(red, 1.0), 1)}, t
+                "sol_mrays_effective": round(sol / max(red, 1.0), 1)
+                }, t, o_s, d_s
 
-    coh, t = row(o[:sub], d[:sub])
-    # bounce class: random directions from the camera hit points
+    coh, t, o_s, d_s = row(o[:sub], d[:sub])
+    # bounce class: random directions from the camera hit points.  t is in
+    # MORTON-SORTED order (row() sorts before tracing), so bounce origins
+    # must be built from the sorted o_s/d_s, not the original rays
+    # (ADVICE r4: mismatched ordering put origins inside geometry).
     rng = np.random.default_rng(11)
     hit_t = np.where(np.isfinite(t), t, 1.0)[:, None]
-    o_b = (o[:sub] + 0.999 * hit_t * d[:sub]).astype(np.float32)
+    o_b = (o_s + 0.999 * hit_t * d_s).astype(np.float32)
     v = rng.normal(size=(sub, 3))
     d_b = (v / np.linalg.norm(v, axis=-1, keepdims=True)).astype(np.float32)
-    inc, _ = row(o_b, d_b)
+    inc, _, _, _ = row(o_b, d_b)
     return {"coherent": coh, "incoherent": inc, "device": kind}
 
 
@@ -226,6 +236,66 @@ def _bench_manifold_iter(scene_dict, match_res=128, spp=8, max_depth=6,
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _bench_bathroom_iter(spp_fwd=64, res=512, match_res=128, spp_bwd=8,
+                         bwd_res=128, max_depth=8, iters=2):
+    """One reference-scale EPSM iteration (VERDICT r4 Next #6): bathroom-
+    class budget — 512² ``spp_fwd``-spp depth-8 *primal* forward render
+    (what ``EPSM/exp/bathroom.py:4-9`` renders per iteration), Sinkhorn
+    matching at ``match_res``², and the manifold constraint-solve backward
+    at the reference's backward sampling (128² film, spp 8,
+    epsm.py:142-145).  spp-chunked like app/optim.py.  Returns ms/iter."""
+    import jax
+    import jax.numpy as jnp
+    import epsm_mitsuba3_tpu as mi
+    from epsm_mitsuba3_tpu.ops.sinkhorn import Matcher
+    from scenes import cornell_box_mesh
+
+    scene_hi = mi.load_dict(cornell_box_mesh(res=res, spp=spp_fwd,
+                                             max_depth=max_depth))
+    scene_lo = mi.load_dict(cornell_box_mesh(res=bwd_res, spp=spp_bwd,
+                                             max_depth=max_depth))
+    matcher = Matcher(match_res)
+    path_int = {"type": "path", "max_depth": max_depth}
+    mani_int = {"type": "manifold", "max_depth": max_depth}
+    spp_chunk = max(1, min(spp_fwd, 2_000_000 // (res * res)))
+
+    gt = mi.render(scene_hi, spp=spp_fwd, seed=7, integrator=path_int,
+                   spp_chunk=spp_chunk)
+    gt_low = jax.lax.stop_gradient(jax.image.resize(
+        jnp.asarray(gt[..., :3]), (match_res, match_res, 3),
+        "linear").reshape(-1, 3))
+
+    def step(theta, seed):
+        # forward: full-res primal render at the experiment budget
+        off = theta * jnp.asarray([1.0, 0.0, 0.0])
+        sc_hi = mi.scene_with_vertices(scene_hi, scene_hi.vertices + off)
+        img = mi.render(sc_hi, spp=spp_fwd, seed=seed, integrator=path_int,
+                        spp_chunk=spp_chunk)
+        img_low = jax.lax.stop_gradient(jax.image.resize(
+            img[..., :3], (match_res, match_res, 3), "linear"
+            ).reshape(-1, 3))
+        g5 = matcher.match_Sinkhorn(img_low, gt_low)
+        g5 = jax.lax.stop_gradient(g5.reshape(match_res, match_res, 5))
+
+        # backward: manifold gradient at the reference's backward budget
+        def loss(theta):
+            v = scene_lo.vertices + theta * jnp.asarray([1.0, 0.0, 0.0])
+            sc = mi.scene_with_vertices(scene_lo, v)
+            im = mi.render(sc, spp=spp_bwd, seed=seed, integrator=mani_int)
+            gb = jax.image.resize(g5, (bwd_res, bwd_res, 5), "nearest")
+            return jnp.sum(im * gb)
+        return jax.grad(loss)(theta)
+
+    step_jit = jax.jit(step)
+    g = step_jit(jnp.asarray(0.01), jnp.uint32(0))
+    g.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        g = step_jit(jnp.asarray(0.01), jnp.uint32(i + 1))
+    g.block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     from scenes import cornell_box, cornell_box_mesh
 
@@ -233,55 +303,97 @@ def main():
     spp_total = int(os.environ.get("BENCH_SPP", 64))
     spp_chunk = int(os.environ.get("BENCH_SPP_CHUNK", 4))
     max_depth = int(os.environ.get("BENCH_DEPTH", 6))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1200))
     n_chunks = max(1, spp_total // spp_chunk)
+    t_start = time.perf_counter()
 
-    mrays, _, _ = _bench_scene(
-        cornell_box(res=res, spp=spp_chunk, max_depth=max_depth),
-        res, spp_chunk, n_chunks, max_depth)
+    state = {
+        "metric": (f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp "
+                   f"d{max_depth} (physical rays)"),
+        "value": None,
+        "unit": "Mrays/s",
+        "vs_baseline": None,
+        "section_s": {},
+    }
 
-    # BVH-path workload: >=50k-triangle displaced mesh in the box — what
-    # bathroom-class scenes actually cost.  This is the headline scene for
-    # the roofline: the toy box uses O(10) analytic prims.
-    extra = {}
-    vs_baseline = None
-    try:
-        # spp 8 chunks: the fwd+bwd program at spp 16 peaks at ~16.7 GB of
-        # HBO temp buffers — past the v5e's 15.75 GB
+    def emit():
+        print(json.dumps(state))
+        sys.stdout.flush()
+
+    def elapsed():
+        return time.perf_counter() - t_start
+
+    bvh_box = {}          # carries the bvh scene between sections
+
+    def sec_toy():
+        mrays, _, _ = _bench_scene(
+            cornell_box(res=res, spp=spp_chunk, max_depth=max_depth),
+            res, spp_chunk, n_chunks, max_depth)
+        state["value"] = round(mrays, 2)
+
+    def sec_bvh():
+        # spp 8 chunks: the fwd+bwd program at spp 16 peaks at ~16.7 GB
+        # of HBM temp buffers — past the v5e's 15.75 GB
         bvh_chunk = int(os.environ.get("BENCH_SPP_CHUNK_BVH", 8))
         bvh_chunks = max(1, spp_total // bvh_chunk // 4)
         bvh_mrays, bvh_scene, _ = _bench_scene(
             cornell_box_mesh(res=res, spp=bvh_chunk, max_depth=max_depth),
             res, bvh_chunk, bvh_chunks, max_depth)
-        extra = {"bvh_scene_mrays": round(bvh_mrays, 2),
-                 "bvh_scene_tris": int(bvh_scene.faces.shape[0])}
-        rl = _roofline(bvh_scene, res, max_depth)
-        if rl:
-            extra["roofline"] = rl
-            sol = rl["coherent"]["sol_mrays"]
-            extra["pct_of_roofline_bvh"] = round(100.0 * bvh_mrays / sol, 2)
-            vs_baseline = round(bvh_mrays / sol, 4)
-    except Exception as e:    # never lose the primary metric
-        extra = {"bvh_scene_error": str(e)[:200]}
+        bvh_box["scene"] = bvh_scene
+        bvh_box["mrays"] = bvh_mrays
+        state["bvh_scene_mrays"] = round(bvh_mrays, 2)
+        state["bvh_scene_tris"] = int(bvh_scene.faces.shape[0])
 
-    try:
-        extra["manifold_iter_ms"] = round(_bench_manifold_iter(
+    def sec_roofline():
+        if "scene" not in bvh_box:
+            return
+        rl = _roofline(bvh_box["scene"], res, max_depth)
+        if rl:
+            state["roofline"] = rl
+            sol = rl["coherent"]["sol_mrays"]
+            state["pct_of_roofline_bvh"] = round(
+                100.0 * bvh_box["mrays"] / sol, 2)
+            # north star is speed-of-light Mrays/s (BASELINE.json); the
+            # reference publishes no numbers, so vs_baseline = fraction
+            # of the first-principles HBM roofline on the BVH workload
+            state["vs_baseline"] = round(bvh_box["mrays"] / sol, 4)
+
+    def sec_manifold():
+        state["manifold_iter_ms"] = round(_bench_manifold_iter(
             cornell_box_mesh(res=128, spp=8, max_depth=max_depth),
             match_res=128, spp=8, max_depth=max_depth), 1)
-    except Exception as e:
-        extra["manifold_iter_error"] = str(e)[:200]
 
-    print(json.dumps({
-        "metric": (f"Mrays/s/chip fwd+bwd @{res}^2 {spp_total}spp "
-                   f"d{max_depth} (physical rays)"),
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        # north star is speed-of-light Mrays/s (BASELINE.json); the
-        # reference publishes no numbers, so vs_baseline = fraction of the
-        # first-principles HBM roofline on the BVH workload
-        "vs_baseline": vs_baseline,
-        "value_legacy_3x": round(mrays * 3, 2),
-        **extra,
-    }))
+    def sec_bathroom():
+        state["bathroom_iter_ms"] = round(_bench_bathroom_iter(), 1)
+
+    # (name, estimated cost in s — refined from instrumented runs; a
+    # section only starts if its estimate fits the remaining budget)
+    sections = [
+        ("toy", 240, sec_toy),
+        ("bvh", 300, sec_bvh),
+        ("roofline", 150, sec_roofline),
+        ("manifold_iter", 240, sec_manifold),
+        ("bathroom_iter", 420, sec_bathroom),
+    ]
+    only = os.environ.get("BENCH_SECTIONS")   # comma list, for dev runs
+    for name, est, fn in sections:
+        if only and name not in only.split(","):
+            continue
+        if elapsed() + est > budget:
+            state[f"{name}_skipped"] = "budget"
+            print(f"[bench] skip {name}: {elapsed():.0f}s elapsed "
+                  f"+ ~{est}s > {budget:.0f}s budget", file=sys.stderr)
+            emit()
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:   # never lose earlier metrics
+            state[f"{name}_error"] = str(e)[:200]
+        state["section_s"][name] = round(time.perf_counter() - t0, 1)
+        print(f"[bench] {name}: {state['section_s'][name]}s "
+              f"(total {elapsed():.0f}s)", file=sys.stderr)
+        emit()
 
 
 if __name__ == "__main__":

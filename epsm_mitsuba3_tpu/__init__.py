@@ -23,7 +23,7 @@ from .models.scene import Scene, load_dict, traverse, SceneParameters  # noqa: F
 from .models.bsdf import BSDFFlags, has_flag  # noqa: F401
 from .models.records import (Ray, RayFlags, SurfaceInteraction,  # noqa: F401
                              BSDFSample, DirectionSample)
-from .ad.render import render, register_integrator  # noqa: F401
+from .ad.render import render, render_forward, register_integrator  # noqa: F401
 from .ops.normals import (scene_with_vertices,  # noqa: F401
                           compute_vertex_normals)  # noqa: F401
 from .models.bsdf import register_bsdf  # noqa: F401

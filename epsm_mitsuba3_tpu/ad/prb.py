@@ -49,6 +49,33 @@ def merge_scene(diff, rest, treedef):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def scene_tangents(scene, d_scene):
+    """Align a user tangent pytree with the scene's differentiable leaves:
+    returns (diff0, rest, treedef, ddiff) where ``ddiff`` carries the
+    tangent for every float leaf (zeros where ``d_scene`` has none)."""
+    diff0, rest, treedef = split_scene(scene)
+    t_leaves = jax.tree.flatten(d_scene)[0] if d_scene is not None else None
+
+    def tangent_of(i, d):
+        if d is None:
+            return None
+        if t_leaves is None or not _is_float(t_leaves[i]):
+            return jnp.zeros_like(d)
+        return jnp.asarray(t_leaves[i], d.dtype).reshape(d.shape)
+
+    ddiff = [tangent_of(i, d) for i, d in enumerate(diff0)]
+    return diff0, rest, treedef, ddiff
+
+
+def zero_tangent(scene):
+    """Scene-shaped tangent pytree for :func:`render_prb_forward`: float
+    leaves zeroed, non-float leaves passed through (so the pytree stays
+    jit-traceable).  Set the leaf you differentiate to the perturbation
+    direction θ̇."""
+    return jax.tree.map(
+        lambda x: jnp.zeros_like(x) if _is_float(x) else x, scene)
+
+
 def zero_cotangent(scene):
     """Zero cotangent pytree for a Scene (float leaves zero, int -> float0)."""
     def z(x):
@@ -289,6 +316,82 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
     return grads
 
 
+def prb_forward(scene, d_scene, sampler, ray: Ray, L_total, max_depth: int,
+                rr_depth: int, reparam_cfg=None, trace=None):
+    """Forward-mode PRB (common.py:118-196 ``render_forward`` analog).
+
+    The exact transpose of :func:`prb_backward`: per bounce, the jvp of the
+    SAME local differentiable contribution ``Lo`` is evaluated against the
+    scene tangent ``d_scene`` and accumulated per-lane; the caller pushes
+    the accumulated value tangents through the (linear) film.  Returns the
+    per-lane radiance tangent ``dvals`` (n, 3)."""
+    n = ray.o.shape[0]
+    diff0, rest, treedef, ddiff = scene_tangents(scene, d_scene)
+
+    st = P.init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    st = st._replace(L=L_total)
+    scene_d = jax.lax.stop_gradient(scene)
+    it0 = jnp.zeros((), jnp.uint32)
+    dvals0 = jnp.zeros((n, 3), jnp.float32)
+
+    def body(carry, cached):
+        st, dvals, it = carry
+        ray_o, ray_d = st.ray_o, st.ray_d
+        prev_p, prev_pdf, prev_delta = (st.prev_p, st.prev_bsdf_pdf,
+                                        st.prev_bsdf_delta)
+        beta, active, depth = st.beta, st.active, st.depth
+        _, s2_peek = smp.next_2d(st.sampler)
+        st2, rec = P.bounce(scene_d, st, 0, max_depth, rr_depth,
+                            cached=cached)
+        L_remaining = st.L - rec["le"] - rec["lr_dir"]
+
+        def vec_obj(diff):
+            sc = merge_scene(diff, rest, treedef)
+            d_in = ray_d
+            det = None
+            rp_em = None
+            if reparam_cfg is not None:
+                from .reparam import reparameterize_ray
+                num_rays = int(reparam_cfg.get("num_rays", 16))
+                kappa = float(reparam_cfg.get("kappa", 1e5))
+                exponent = float(reparam_cfg.get("exponent", 3.0))
+                antithetic = bool(reparam_cfg.get("antithetic", True))
+                salt = int(reparam_cfg.get("_salt", 0))
+                rs = smp.seed(it * jnp.uint32(0x9E3779B9)
+                              + jnp.uint32(17 + salt), n)
+                _, d_in, det = reparameterize_ray(
+                    sc, rs, Ray.make(ray_o, ray_d), active,
+                    num_rays=num_rays, kappa=kappa, exponent=exponent,
+                    antithetic=antithetic)
+                det = jnp.where(it == 0, 1.0, det)
+
+                def rp_em(em_ray, a_em):
+                    rs2 = smp.seed(it * jnp.uint32(0x9E3779B9)
+                                   + jnp.uint32(29 + salt), n)
+                    _, d_e, det_e = reparameterize_ray(
+                        sc, rs2, em_ray, a_em,
+                        num_rays=num_rays, kappa=kappa, exponent=exponent,
+                        antithetic=antithetic)
+                    return d_e, det_e
+            lo = _local_contrib(
+                sc, ray_o, d_in, _pi_of(rec["si"]),
+                st2.ray_d, beta, prev_p, prev_pdf, prev_delta, active,
+                jax.lax.stop_gradient(L_remaining), s2_peek, max_depth,
+                depth, rr_depth, occl=rec["occl"], rp_em=rp_em)
+            if det is not None:
+                lo = lo * det[..., None]
+            return lo
+
+        _, dlo = jax.jvp(vec_obj, (diff0,), (ddiff,))
+        st2 = st2._replace(L=L_remaining)
+        return (st2, dvals + dlo, it + 1), None
+
+    (st, dvals, _), _ = jax.lax.scan(body, (st, dvals0, it0), trace,
+                                     length=max_depth,
+                                     unroll=(reparam_cfg is None))
+    return dvals
+
+
 def _pi_of(si):
     """Rebuild a detached PreliminaryIntersection from a recorded SI."""
     from ..models.records import PreliminaryIntersection
@@ -313,6 +416,67 @@ def render_prb(scene, seed=0, sensor_idx: int = 0, spp: int = 16,
     fn = _make_render(sensor_idx, spp, max_depth, rr_depth, reparam,
                       execution, rp_items)
     return fn(scene, jnp.asarray(seed, jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_idx", "spp", "max_depth",
+                                             "rr_depth", "reparam",
+                                             "rp_items"))
+def render_prb_forward(scene, d_scene, seed=0, sensor_idx: int = 0,
+                       spp: int = 16, max_depth: int = 6, rr_depth: int = 5,
+                       reparam: bool = False, rp_items=()):
+    """Forward-mode differentiable render (``render_forward``,
+    common.py:118-196 / util.py:389): given a scene tangent pytree
+    (the direction of parameter perturbation), returns the image tangent
+    d(image)/dθ · θ̇ — one pass instead of the 16 backward region probes
+    tests/test_ad_matrix_image.py used to need (VERDICT r4 Next #7)."""
+    rp_cfg = dict(rp_items)
+    sensor = scene.sensors[sensor_idx]
+    n = sensor.width * sensor.height * spp
+    sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
+    sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
+    L, valid, trace = P.sample_primal_recorded(scene, sampler, ray,
+                                               max_depth, rr_depth)
+    dvals = prb_forward(scene, d_scene, sampler, ray, L, max_depth,
+                        rr_depth, reparam_cfg=rp_cfg if reparam else None,
+                        trace=trace)
+    dimg = _film_fn(dvals, jax.lax.stop_gradient(pos),
+                    jax.lax.stop_gradient(weight), sensor, spp)
+
+    if reparam and not rp_cfg.get("_no_cam"):
+        # camera-vertex term: jvp of the attached film splat (the exact
+        # forward transpose of the bwd cam_obj — common.py:406-417)
+        from ..models import films as films_mod
+        from ..models import sensors as S
+        from .reparam import reparameterize_ray as _rp
+        diff0, rest, treedef, ddiff = scene_tangents(scene, d_scene)
+        rfilter = "gaussian" if sensor.rfilter == "box" else sensor.rfilter
+        ones = jnp.ones((n,), bool)
+        value = jax.lax.stop_gradient(L * weight)
+
+        def cam_img(diff):
+            sc = merge_scene(diff, rest, treedef)
+            sensor_att = sc.sensors[sensor_idx]
+            smp2 = smp.seed(seed, n, kind=sc.static.sampler_kind, spp=spp)
+            smp2, ray_att, _, _ = common.sample_rays(sensor_att, smp2, spp)
+            rs = smp.seed(jnp.asarray(seed, jnp.uint32)
+                          * jnp.uint32(0x9E3779B9) + jnp.uint32(23), n)
+            _, d0, det0 = _rp(
+                sc, rs, ray_att, ones,
+                num_rays=int(rp_cfg.get("num_rays", 16)),
+                kappa=float(rp_cfg.get("kappa", 1e5)),
+                exponent=float(rp_cfg.get("exponent", 3.0)),
+                antithetic=bool(rp_cfg.get("antithetic", True)))
+            pos_att = S.point_to_film(sensor_att, ray_att.o + d0)
+            if pos_att is None:
+                pos_att = jax.lax.stop_gradient(pos)
+            data, w = films_mod.splat(pos_att, value, sensor.width,
+                                      sensor.height, rfilter,
+                                      extra_weight=det0)
+            return films_mod.develop(data, w)
+
+        _, dimg_cam = jax.jvp(cam_img, (diff0,), (ddiff,))
+        dimg = dimg + dimg_cam
+    return dimg
 
 
 @functools.lru_cache(maxsize=None)

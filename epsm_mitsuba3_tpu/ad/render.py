@@ -79,6 +79,47 @@ def _render_primal(scene, seed: int, sensor_idx: int, spp: int,
     return img
 
 
+def render_forward(scene, d_scene, seed: int = 0, spp: int = 0,
+                   sensor: int = 0,
+                   integrator: Optional[dict] = None) -> jnp.ndarray:
+    """mi.render_forward analog (common.py:118-196, util.py:389): the
+    forward-mode derivative image d(render)/dθ · θ̇ for a scene tangent
+    ``d_scene`` (build with ``ad.prb.zero_tangent(scene)`` and set the
+    perturbed leaf to the direction).  Supported for the PRB family —
+    the same estimator decomposition as ``render_backward``, transposed."""
+    cfg = _integrator_cfg(scene, integrator)
+    kind = cfg["type"]
+    if spp == 0:
+        spp = scene.static.spp
+    from . import prb as _prb
+    if d_scene is None:
+        d_scene = _prb.zero_tangent(scene)
+    else:
+        # jax.jvp-produced tangents carry float0 leaves for int fields,
+        # which cannot cross a jit boundary — swap them for the scene's
+        # own (ignored) leaves
+        def _san(x, dx):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jnp.floating):
+                return (jnp.zeros_like(x) if dx is None
+                        else jnp.asarray(dx).astype(x.dtype))
+            return x
+        d_scene = jax.tree.map(_san, scene, d_scene,
+                               is_leaf=lambda l: l is None)
+    if kind in ("path", "prb", "prb_basic", "prb_reparam"):
+        from . import prb
+        return prb.render_prb_forward(
+            scene, d_scene, seed=seed, sensor_idx=sensor, spp=spp,
+            max_depth=int(cfg.get("max_depth", 6)),
+            rr_depth=int(cfg.get("rr_depth", 5)),
+            reparam=kind.endswith("reparam"),
+            rp_items=_rp_items(cfg))
+    raise NotImplementedError(
+        f"render_forward: integrator '{kind}' has no forward-mode path "
+        "(the reference implements forward for the PRB family only, "
+        "common.py:580)")
+
+
 def render(scene, params=None, seed: int = 0, spp: int = 0, sensor: int = 0,
            integrator: Optional[dict] = None,
            spp_chunk: int = 0) -> jnp.ndarray:

@@ -124,6 +124,13 @@ def reparameterize_ray(scene, sampler, ray: Ray, active,
     tangential components (reference ``reparam_antithetic``)."""
     d_det = jax.lax.stop_gradient(ray.d)
     s_, t_ = m.coordinate_system(d_det)
+    if antithetic and num_rays % 2:
+        # each scan iteration evaluates BOTH flips; an odd count would
+        # silently draw num_rays+1 warp samples and change the
+        # self-normalized estimator (ADVICE r4; the reference's
+        # antithetic sampling is pairwise by construction, reparam.py:189)
+        raise ValueError("antithetic reparameterization requires an even "
+                         f"num_rays (got {num_rays})")
     pairs = (num_rays + 1) // 2 if antithetic else num_rays
     n = ray.o.shape[0]
     zeros3 = jnp.zeros((n, 3), d_det.dtype)

@@ -309,10 +309,17 @@ class _Builder:
         """Texture plugin -> index into scene.textures (src/textures/*)."""
         from . import textures as tex_mod
         t = d.get("type")
+        def _uv2(key, default):
+            v = d.get(key, default)
+            if isinstance(v, (list, tuple)):
+                return tuple(float(x) for x in v)
+            return (float(d.get(key + "_x", v)), float(d.get(key + "_y", v)))
+
         if t == "bitmap":
             from ..core.bitmap import read_image
             img = read_image(d["filename"]).data
-            tex = tex_mod.bitmap(img)
+            tex = tex_mod.bitmap(img, _uv2("uv_scale", 1.0),
+                                 _uv2("uv_offset", 0.0))
         elif t == "volume":
             # 3D volume texture (src/textures/volume.cpp): trilinear
             # lookup at the world hit position.  The nested volume is a
@@ -344,9 +351,7 @@ class _Builder:
             tex = tex_mod.checkerboard(
                 _rgb(d.get("color0"), (0.4, 0.4, 0.4)),
                 _rgb(d.get("color1"), (0.2, 0.2, 0.2)),
-                (float(d.get("uv_scale_x", d.get("uv_scale", 1.0))),) * 2
-                if not isinstance(d.get("uv_scale"), (list, tuple))
-                else tuple(d.get("uv_scale")),
+                _uv2("uv_scale", 1.0), _uv2("uv_offset", 0.0),
             )
         else:
             from .textures import _CUSTOM_TEXTURE_FNS

@@ -20,6 +20,8 @@ class Texture:
     color0: jnp.ndarray = None      # (3,) checkerboard
     color1: jnp.ndarray = None
     uv_scale: jnp.ndarray = None    # (2,) to_uv scaling
+    uv_offset: jnp.ndarray = None   # (2,) to_uv translation (legacy
+    #                                 uoffset/voffset, xml.cpp:379-410)
     grid3d: jnp.ndarray = None      # (Z, Y, X, 3) volume texture grid
     w2v: jnp.ndarray = None         # (4, 4) world -> [0,1]^3 grid coords
     #: measured-BRDF baked table axes: grid3d = (θ_i, θ_o, φ_d, 3),
@@ -39,19 +41,30 @@ def volume3d(grid, w2v) -> Texture:
                    w2v=jnp.asarray(w2v, jnp.float32))
 
 
-def bitmap(data) -> Texture:
+def bitmap(data, uv_scale=(1.0, 1.0), uv_offset=(0.0, 0.0)) -> Texture:
     return Texture(kind="bitmap", data=jnp.asarray(data, jnp.float32),
                    color0=jnp.zeros(3), color1=jnp.ones(3),
-                   uv_scale=jnp.ones(2))
+                   uv_scale=jnp.asarray(uv_scale, jnp.float32),
+                   uv_offset=jnp.asarray(uv_offset, jnp.float32))
 
 
 def checkerboard(color0=(0.4, 0.4, 0.4), color1=(0.2, 0.2, 0.2),
-                 uv_scale=(1.0, 1.0)) -> Texture:
+                 uv_scale=(1.0, 1.0), uv_offset=(0.0, 0.0)) -> Texture:
     return Texture(kind="checkerboard",
                    data=jnp.zeros((1, 1, 3), jnp.float32),
                    color0=jnp.asarray(color0, jnp.float32),
                    color1=jnp.asarray(color1, jnp.float32),
-                   uv_scale=jnp.asarray(uv_scale, jnp.float32))
+                   uv_scale=jnp.asarray(uv_scale, jnp.float32),
+                   uv_offset=jnp.asarray(uv_offset, jnp.float32))
+
+
+def _to_uv(tex: Texture, uv: jnp.ndarray) -> jnp.ndarray:
+    """Apply the texture's to_uv transform (scale then translate —
+    xml.cpp:379-410 builds translate([uoffset,voffset]) @ scale)."""
+    st = uv if tex.uv_scale is None else uv * tex.uv_scale
+    if tex.uv_offset is not None:
+        st = st + tex.uv_offset
+    return st
 
 
 def _eval_volume(tex: Texture, pos: jnp.ndarray) -> jnp.ndarray:
@@ -114,12 +127,13 @@ def eval_one(tex: Texture, uv: jnp.ndarray, pos: jnp.ndarray = None) -> jnp.ndar
                                     uv.shape[:-1] + (3,))
         return _eval_volume(tex, pos)
     if tex.kind == "checkerboard":
-        st = uv * tex.uv_scale
+        st = _to_uv(tex, uv)
         mask = ((jnp.floor(st[..., 0]) + jnp.floor(st[..., 1])) % 2.0) < 1.0
         return jnp.where(mask[..., None], tex.color0, tex.color1)
+    st = _to_uv(tex, uv)
     h, w = tex.data.shape[:2]
-    x = uv[..., 0] * w - 0.5
-    y = uv[..., 1] * h - 0.5
+    x = st[..., 0] * w - 0.5
+    y = st[..., 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]

@@ -70,11 +70,9 @@ BLOCK_SUB = int(_os.environ.get("PALLAS_BLOCK_SUB", 32))
 BLOCK_SUB_BOUNCE = int(_os.environ.get("PALLAS_BLOCK_SUB_BOUNCE", BLOCK_SUB))
 BLOCK_RAYS = BLOCK_SUB * 128          # rays per grid step (coherent default)
 SUB_CULL = int(_os.environ.get("PALLAS_SUB_CULL", 8))
-#: independent interleaved stacks per block for incoherent closest-hit
-#: waves (0/1 = classic single-stack kernel).  Default OFF: measured a
-#: runtime loss (see BLOCK_SUB_BOUNCE note) — the K sub-packet bodies
-#: serialize in Mosaic rather than pipelining their scalar pop latency.
-MULTI_STACK = int(_os.environ.get("PALLAS_MULTI_STACK", 0))
+# (a multi-stack interleaved variant lived here through r4; it measured
+# strictly worse than the single-stack kernel in both coherence regimes
+# — b32 single: 52/68 Mrays/s vs ms4: 19/64 — and was cut in r5.)
 #: nodes popped from the shared stack per while-loop iteration (the
 #: single-pop chain measures ~1.2 us/pop on v5e — pure scalar latency);
 #: 0/1 = classic single-pop kernel
@@ -416,145 +414,6 @@ def _traverse_kernel_mp(nodes_ref, tri_ref,
     jax.lax.while_loop(lambda sp: sp > 0, body, 1)
 
 
-def _traverse_kernel_ms(nodes_ref, tri_ref,
-                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                        maxt_ref,
-                        t_ref, u_ref, v_ref, slot_ref,
-                        stack_ref, key_ref, tmax_ref, npush_ref,
-                        n_stacks=4):
-    """Multi-stack interleaved packet traversal for INCOHERENT wavefronts.
-
-    The single-stack kernel is latency-bound: each pop is a serial chain
-    (SMEM pop -> node fetch -> slab -> push) whose vector work is tiny
-    once sub-row culling kicks in, so the VPU idles on the scalar
-    critical path.  This variant splits the (block_sub, 128) block into
-    ``n_stacks`` independent sub-packets (rows k*S:(k+1)*S), each with
-    its own SMEM stack/tmax, and advances ALL of them by one pop per
-    while-loop iteration — the K chains are data-independent, so Mosaic
-    can overlap their scalar latency.  Two multiplicative wins for
-    bounce rays: (1) pop pipelining, (2) each sub-packet traverses only
-    the union of ITS rays' subtrees (a 4096-ray incoherent packet
-    touches most of the tree; a 1024-ray Morton-sorted one far less).
-
-    Stack layout: ``stack_ref[k * stride + i]``; ``sp`` values ride in
-    the while-loop carry (a K-tuple of scalars)."""
-    ox = ox_ref[:, :]
-    oy = oy_ref[:, :]
-    oz = oz_ref[:, :]
-    dx = dx_ref[:, :]
-    dy = dy_ref[:, :]
-    dz = dz_ref[:, :]
-
-    def inv(c):
-        return 1.0 / jnp.where(jnp.abs(c) > 1e-12, c,
-                               jnp.where(c >= 0, 1e-12, -1e-12))
-
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
-
-    K = n_stacks
-    S = ox.shape[0] // K
-    stride = STACK_SIZE + 8
-
-    t_ref[:, :] = maxt_ref[:, :]
-    u_ref[:, :] = jnp.zeros_like(ox)
-    v_ref[:, :] = jnp.zeros_like(ox)
-    slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
-    for k in range(K):
-        stack_ref[k * stride] = 0
-        key_ref[k * stride] = jnp.float32(0.0)
-        tmax_ref[k] = jnp.max(maxt_ref[k * S:(k + 1) * S, :])
-    max_tri_slot = tri_ref.shape[0] * 128 - 1
-
-    def body(sps):
-        new_sps = []
-        for k in range(K):
-            sp_in = sps[k]
-            r0, r1 = k * S, (k + 1) * S
-            npush_ref[k] = jnp.int32(0)
-            popped = sp_in > 0
-            sp = jnp.maximum(sp_in - 1, 0)
-
-            @pl.when(popped)
-            def _(k=k, sp=sp, r0=r0, r1=r1):
-                node = stack_ref[k * stride + sp]
-                nkey = key_ref[k * stride + sp]
-                live = nkey < tmax_ref[k]
-
-                @pl.when(live)
-                def _():
-                    rec = _fetch(nodes_ref, node)
-                    oxs, oys, ozs = ox[r0:r1], oy[r0:r1], oz[r0:r1]
-                    dxs, dys, dzs = dx[r0:r1], dy[r0:r1], dz[r0:r1]
-                    ixs, iys, izs = ix[r0:r1], iy[r0:r1], iz[r0:r1]
-                    slabs = _slab4(rec, oxs, oys, ozs, ixs, iys, izs)
-                    t_best = t_ref[r0:r1, :]
-                    inner = []
-                    any_leaf_hit = jnp.bool_(False)
-                    for c in range(4):
-                        cnt = rec[4 + c, 0]
-                        cid = rec[c, 0].astype(jnp.int32)
-                        near, far = slabs[c]
-                        hit = (near <= far) & (far > 1e-6) & (near < t_best)
-                        anyk = jnp.any(hit)
-                        is_leaf = cnt > 0.5
-                        cnt_i = cnt.astype(jnp.int32)
-
-                        @pl.when(anyk & is_leaf)
-                        def _(cid=cid, cnt_i=cnt_i):
-                            tb = t_ref[r0:r1, :]
-                            ub = u_ref[r0:r1, :]
-                            vb = v_ref[r0:r1, :]
-                            sb = slot_ref[r0:r1, :]
-                            for j in range(MAX_LEAF4):
-                                tri = _fetch(tri_ref,
-                                             jnp.minimum(cid + j,
-                                                         max_tri_slot))
-                                t, u, v, h = _mt(oxs, oys, ozs,
-                                                 dxs, dys, dzs, tri)
-                                h = h & (t > 1e-6) & (t < tb) & (j < cnt_i)
-                                tb = jnp.where(h, t, tb)
-                                ub = jnp.where(h, u, ub)
-                                vb = jnp.where(h, v, vb)
-                                sb = jnp.where(h, cid + j, sb)
-                            t_ref[r0:r1, :] = tb
-                            u_ref[r0:r1, :] = ub
-                            v_ref[r0:r1, :] = vb
-                            slot_ref[r0:r1, :] = sb
-
-                        any_leaf_hit = any_leaf_hit | (anyk & is_leaf)
-                        kkey = jnp.min(jnp.where(hit, near, _BIG))
-                        valid = anyk & (cnt > -0.5) & (~is_leaf)
-                        inner.append((jnp.where(valid, kkey, _BIG), cid))
-
-                    @pl.when(any_leaf_hit)
-                    def _():
-                        tmax_ref[k] = jnp.max(t_ref[r0:r1, :])
-
-                    shorted = _sort4_desc(inner)
-                    pos = jnp.int32(0)
-                    for kkey, cid in shorted:
-                        okp = (kkey < _BIG) & (sp + pos < STACK_SIZE)
-
-                        @pl.when(okp)
-                        def _(kkey=kkey, cid=cid, pos=pos):
-                            stack_ref[k * stride + sp + pos] = cid
-                            key_ref[k * stride + sp + pos] = kkey
-
-                        pos = pos + jnp.where(okp, 1, 0)
-                    npush_ref[k] = pos
-
-            new_sps.append(sp + npush_ref[k])
-        return tuple(new_sps)
-
-    def cond(sps):
-        alive = sps[0] > 0
-        for k in range(1, K):
-            alive = alive | (sps[k] > 0)
-        return alive
-
-    jax.lax.while_loop(cond, body, (jnp.int32(1),) * K)
-
-
 def _anyhit_kernel(nodes_ref, tri_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    maxt_ref,
@@ -641,26 +500,20 @@ def _pack_component_major(arr2, comps):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
-                                               "sub_cull", "multi_stack",
-                                               "multi_pop"))
+                                               "sub_cull", "multi_pop"))
 def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
-         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_stack=0,
-         multi_pop=0):
+         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_pop=0):
     M = ox.shape[0]                       # (M, 128)
     grid = M // block_sub
     ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    if multi_stack > 1:
-        kern = functools.partial(_traverse_kernel_ms, n_stacks=multi_stack)
-        n_slots = multi_stack
-    elif multi_pop > 1:
+    n_slots = 1
+    if multi_pop > 1:
         kern = functools.partial(_traverse_kernel_mp, sub_cull=sub_cull,
                                  multi_pop=multi_pop)
-        n_slots = 1
     else:
         kern = functools.partial(_traverse_kernel, sub_cull=sub_cull)
-        n_slots = 1
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -795,7 +648,6 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
                              coherent: bool = False,
                              block_sub: int = None,
                              sub_cull: int = None,
-                             multi_stack: int = None,
                              multi_pop: int = None,
                              ) -> PreliminaryIntersection:
     """``coherent``: wavefront-coherence hint from the integrator (the
@@ -807,8 +659,6 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
         block_sub = BLOCK_SUB if coherent else BLOCK_SUB_BOUNCE
     if sub_cull is None:
         sub_cull = min(SUB_CULL, block_sub)
-    if multi_stack is None:
-        multi_stack = 0 if coherent else MULTI_STACK
     if multi_pop is None:
         multi_pop = MULTI_POP
     nodes3, tri3 = pack_scene(scene.bvh, scene.vertices, scene.faces)
@@ -835,8 +685,7 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
     ox, oy, oz, dx, dy, dz, maxt, n = _prep_rays(ray, block_sub * 128)
     t, u, v, slot = _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
                          interpret=_interpret(), block_sub=block_sub,
-                         sub_cull=sub_cull, multi_stack=multi_stack,
-                         multi_pop=multi_pop)
+                         sub_cull=sub_cull, multi_pop=multi_pop)
     t = t.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
     v = v.reshape(-1)[:n]

@@ -201,16 +201,36 @@ def _train_step_impl(scene, img_ref, seed, sensor_idx, spp, max_depth,
         L, valid = P_.sample_primal(scene, sampler, ray, max_depth, rr_depth)
         value = L * weight
         pix = (lane0 + jnp.arange(n_local, dtype=jnp.uint32)) // jnp.uint32(spp)
-        flat = jnp.zeros((sensor.width * sensor.height, 3), value.dtype)
-        flat = flat.at[pix].add(value / spp)
-        img = jax.lax.psum(
-            flat.reshape(sensor.height, sensor.width, 3), _AX)
+        if sensor.rfilter == "box":
+            flat = jnp.zeros((sensor.width * sensor.height, 3), value.dtype)
+            flat = flat.at[pix].add(value / spp)
+            img = jax.lax.psum(
+                flat.reshape(sensor.height, sensor.width, 3), _AX)
+        else:
+            # general reconstruction filter (VERDICT r4 Next #8): local
+            # splat, psum the partial films, develop with the GLOBAL
+            # filter-weight image
+            data, w = films.splat(pos, value, sensor.width, sensor.height,
+                                  sensor.rfilter)
+            w_g = jax.lax.psum(w, _AX)
+            img = films.develop(jax.lax.psum(data, _AX), w_g)
 
         # L2 image loss + adjoint radiance for this shard's lanes
         diff = img - img_ref
         loss = jnp.mean(diff ** 2)
         d_img = 2.0 * diff / diff.size
-        dL = d_img.reshape(-1, 3)[pix] * weight / spp
+        if sensor.rfilter == "box":
+            dL = d_img.reshape(-1, 3)[pix] * weight / spp
+        else:
+            # adjoint through the shard's splat: develop is linear in the
+            # local data given the (detached) global weights
+            def film_local(v):
+                data_l, _ = films.splat(pos, v * weight, sensor.width,
+                                        sensor.height, sensor.rfilter)
+                return films.develop(data_l, jax.lax.stop_gradient(w_g))
+            zeros = jnp.zeros((n_local, 3), value.dtype)
+            _, film_vjp = jax.vjp(film_local, zeros)
+            (dL,) = film_vjp(d_img)
 
         grads_list = prb_mod.prb_backward(
             scene, sampler, ray, dL, L, max_depth, rr_depth)

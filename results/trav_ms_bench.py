@@ -1,8 +1,9 @@
-"""Multi-stack traversal benchmark on the real chip (one process, all
-variants in-process so compiles are shared).  Compares the single-stack
-packet kernel against the interleaved multi-stack kernel across block
-geometries, for coherent and incoherent (bounce-like, Morton-sorted)
-wavefronts, plus the XLA gather traversal as a cross-check."""
+"""Traversal-kernel microbenchmark on the real chip (one process, all
+variants in-process so compiles are shared).  Sweeps the packet kernel's
+block geometry and multi-pop factor for coherent and incoherent
+(bounce-like, Morton-sorted) wavefronts, plus the XLA gather traversal as
+a cross-check.  (The r4 multi-stack interleave variant measured strictly
+worse in both regimes and was cut in r5.)"""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
@@ -57,20 +58,20 @@ def main():
     print("tris:", scene.faces.shape[0], "device:", jax.devices()[0],
           flush=True)
 
-    def variant(block_sub, ms):
+    def variant(block_sub, mp):
         @jax.jit
         def f(o, d):
             return PT.bvh_ray_intersect_pallas(
                 scene, Ray.make(o, d), sort=True, block_sub=block_sub,
-                sub_cull=min(8, block_sub), multi_stack=ms).t
+                sub_cull=min(8, block_sub), multi_pop=mp).t
         return f
 
     cases = [("ss b32", variant(32, 0)),
-             ("ms2 b32", variant(32, 2)),
-             ("ms4 b32", variant(32, 4)),
-             ("ms8 b32", variant(32, 8)),
-             ("ms4 b64", variant(64, 4)),
-             ("ms8 b64", variant(64, 8))]
+             ("mp4 b32", variant(32, 4)),
+             ("mp8 b32", variant(32, 8)),
+             ("ss b8", variant(8, 0)),
+             ("mp4 b8", variant(8, 4)),
+             ("mp8 b8", variant(8, 8))]
     for kind in ("incoherent", "coherent"):
         o, d = make_rays(scene, kind)
         for name, fn in cases:

@@ -201,8 +201,11 @@ def test_manifold_gradient_vs_independent_fd():
 
     def loss(theta, seed):
         shift = jnp.concatenate([theta[None], jnp.zeros(2, jnp.float32)])
-        sc = scene0.replace(
-            vertices=scene0.vertices.at[s:s + c].add(shift[None, :]))
+        # scene_with_vertices (not .replace) so the BVH/derived state stays
+        # consistent if this scene ever grows past the brute-force
+        # threshold (ADVICE r4)
+        sc = mi.scene_with_vertices(
+            scene0, scene0.vertices.at[s:s + c].add(shift[None, :]))
         img = mi.render(sc, spp=16, seed=seed,
                         integrator={"type": "manifold", "max_depth": 3})
         img_low = jax.lax.stop_gradient(img[..., :3]).reshape(-1, 3)

