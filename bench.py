@@ -243,7 +243,14 @@ def _bench_bathroom_iter(spp_fwd=64, res=512, match_res=128, spp_bwd=8,
     (what ``EPSM/exp/bathroom.py:4-9`` renders per iteration), Sinkhorn
     matching at ``match_res``², and the manifold constraint-solve backward
     at the reference's backward sampling (128² film, spp 8,
-    epsm.py:142-145).  spp-chunked like app/optim.py.  Returns ms/iter."""
+    epsm.py:142-145).
+
+    The three phases are timed as SEPARATE jitted programs and summed
+    (one fused module put 16 unrolled chunk renders + Sinkhorn + the
+    manifold backward into a single XLA compile that blew past any
+    budget); the sum is what an optimization iteration costs, and the
+    per-phase breakdown is returned alongside.  Returns (total_ms,
+    {phase: ms})."""
     import jax
     import jax.numpy as jnp
     import epsm_mitsuba3_tpu as mi
@@ -259,25 +266,35 @@ def _bench_bathroom_iter(spp_fwd=64, res=512, match_res=128, spp_bwd=8,
     mani_int = {"type": "manifold", "max_depth": max_depth}
     spp_chunk = max(1, min(spp_fwd, 2_000_000 // (res * res)))
 
-    gt = mi.render(scene_hi, spp=spp_fwd, seed=7, integrator=path_int,
-                   spp_chunk=spp_chunk)
-    gt_low = jax.lax.stop_gradient(jax.image.resize(
-        jnp.asarray(gt[..., :3]), (match_res, match_res, 3),
-        "linear").reshape(-1, 3))
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters, out
 
-    def step(theta, seed):
-        # forward: full-res primal render at the experiment budget
-        off = theta * jnp.asarray([1.0, 0.0, 0.0])
-        sc_hi = mi.scene_with_vertices(scene_hi, scene_hi.vertices + off)
-        img = mi.render(sc_hi, spp=spp_fwd, seed=seed, integrator=path_int,
-                        spp_chunk=spp_chunk)
-        img_low = jax.lax.stop_gradient(jax.image.resize(
-            img[..., :3], (match_res, match_res, 3), "linear"
-            ).reshape(-1, 3))
-        g5 = matcher.match_Sinkhorn(img_low, gt_low)
-        g5 = jax.lax.stop_gradient(g5.reshape(match_res, match_res, 5))
+    # phase 1: forward primal render at the experiment budget (the
+    # per-chunk program is jitted once and reused across the 8 chunks)
+    def fwd(seed):
+        return mi.render(scene_hi, spp=spp_fwd, seed=seed,
+                         integrator=path_int, spp_chunk=spp_chunk)
+    t_fwd, img = timed(fwd, 11)
 
-        # backward: manifold gradient at the reference's backward budget
+    img_low = jax.image.resize(jnp.asarray(img[..., :3]),
+                               (match_res, match_res, 3),
+                               "linear").reshape(-1, 3)
+
+    # phase 2: debiased Sinkhorn matching at match_res²
+    sink = jax.jit(lambda a, b: matcher.match_Sinkhorn(a, b))
+    t_sink, g5 = timed(sink, img_low, img_low * 1.02)
+    g5 = jax.lax.stop_gradient(g5.reshape(match_res, match_res, 5))
+
+    # phase 3: manifold constraint-solve backward at the reference's
+    # backward budget (128² film, spp 8)
+    @jax.jit
+    def bwd(theta, g5, seed):
         def loss(theta):
             v = scene_lo.vertices + theta * jnp.asarray([1.0, 0.0, 0.0])
             sc = mi.scene_with_vertices(scene_lo, v)
@@ -285,15 +302,12 @@ def _bench_bathroom_iter(spp_fwd=64, res=512, match_res=128, spp_bwd=8,
             gb = jax.image.resize(g5, (bwd_res, bwd_res, 5), "nearest")
             return jnp.sum(im * gb)
         return jax.grad(loss)(theta)
+    t_bwd, _ = timed(bwd, jnp.asarray(0.01), g5, jnp.uint32(5))
 
-    step_jit = jax.jit(step)
-    g = step_jit(jnp.asarray(0.01), jnp.uint32(0))
-    g.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(iters):
-        g = step_jit(jnp.asarray(0.01), jnp.uint32(i + 1))
-    g.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+    total = (t_fwd + t_sink + t_bwd) * 1e3
+    return total, {"fwd_ms": round(t_fwd * 1e3, 1),
+                   "sinkhorn_ms": round(t_sink * 1e3, 1),
+                   "bwd_ms": round(t_bwd * 1e3, 1)}
 
 
 def main():
@@ -364,7 +378,9 @@ def main():
             match_res=128, spp=8, max_depth=max_depth), 1)
 
     def sec_bathroom():
-        state["bathroom_iter_ms"] = round(_bench_bathroom_iter(), 1)
+        total, phases = _bench_bathroom_iter()
+        state["bathroom_iter_ms"] = round(total, 1)
+        state["bathroom_phases"] = phases
 
     # (name, estimated cost in s — refined from instrumented runs; a
     # section only starts if its estimate fits the remaining budget)

@@ -244,12 +244,21 @@ def sample_primal(scene, sampler, ray: Ray, max_depth: int, rr_depth: int = 5):
     st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
     scene_d = jax.lax.stop_gradient(scene)
 
-    # python loop == fully-unrolled scan (XLA pipelines/specializes across
-    # bounces — measured 2x on the cornell primal vs the rolled scan,
-    # v5e, 1M lanes, d6) AND lets each bounce pick its static packet
-    # geometry (bounce 0 coherent, bounce 1+ small packets)
-    for it in range(max_depth):
-        st, _rec = bounce(scene_d, st, it, max_depth, rr_depth)
+    # bounce 0 runs OUTSIDE the scan so the camera wave keeps its static
+    # coherent packet geometry; the remaining bounces ride a fully
+    # unrolled lax.scan.  NOT a python loop: r4 replaced the scan with an
+    # "equivalent" python unroll and lost 36% of toy fwd+bwd throughput
+    # (122 -> 80 Mrays/s, bisected r5) — XLA schedules the scan-emitted
+    # unrolled body better than the hand-inlined one.
+    st, _rec = bounce(scene_d, st, 0, max_depth, rr_depth)
+
+    def body(st, _):
+        st2, _rec = bounce(scene_d, st, 1, max_depth, rr_depth)
+        return st2, None
+
+    if max_depth > 1:
+        st, _ = jax.lax.scan(body, st, None, length=max_depth - 1,
+                             unroll=True)
     return st.L, st.depth > 0
 
 
@@ -269,11 +278,23 @@ def sample_primal_recorded(scene, sampler, ray: Ray, max_depth: int,
     st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
     scene_d = jax.lax.stop_gradient(scene)
 
-    slices = []
-    for it in range(max_depth):
-        st, rec = bounce(scene_d, st, it, max_depth, rr_depth)
-        slices.append({"pi": rec["pi"], "occl": rec["occl"]})
-    trace = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *slices)
+    # same split as sample_primal: coherent camera bounce outside, the
+    # rest in an unrolled scan (see the perf note there); the bounce-0
+    # trace slice is prepended to the scan's stacked output
+    st, rec0 = bounce(scene_d, st, 0, max_depth, rr_depth)
+    first = {"pi": rec0["pi"], "occl": rec0["occl"]}
+
+    def body(st, _):
+        st2, rec = bounce(scene_d, st, 1, max_depth, rr_depth)
+        return st2, {"pi": rec["pi"], "occl": rec["occl"]}
+
+    if max_depth > 1:
+        st, rest = jax.lax.scan(body, st, None, length=max_depth - 1,
+                                unroll=True)
+        trace = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first, rest)
+    else:
+        trace = jax.tree.map(lambda a: a[None], first)
     return st.L, st.depth > 0, trace
 
 
