@@ -172,7 +172,7 @@ def compute_surface_interaction(
     * FollowShape: barycentrics are detached — si.p rigidly follows the
       triangle (used for diffuse-receiver gradients, epsm.py:561-562).
     """
-    from .gather import take_rows, take_rows_int
+    from .gather import take_rows
 
     nf = scene.faces.shape[0]
     has_sph = getattr(scene, "sph_data", None) is not None
@@ -199,10 +199,35 @@ def compute_surface_interaction(
             nf = 1
     else:
         fidx = pi.prim_index
-    # per-face tables gathered once (F rows, cheap) so the per-lane access
-    # is a single one-hot matmul on the MXU for small scenes
-    tri = scene.vertices[scene.faces]           # (F, 3, 3), differentiable
-    tri_n = take_rows(tri.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+    # ONE combined per-lane gather for every per-face quantity (r5):
+    # TPU per-lane gathers cost ~25 ms per gather INSTRUCTION at 2M lanes
+    # regardless of row width (measured: 4 separate gathers 92 ms, one
+    # 27-column gather 27 ms), so triangle vertices, vertex normals, uvs
+    # and the int face->(shape,bsdf,emitter) meta ride a single gather of
+    # a concatenated (F, 27+) table.  Int meta goes through float exactly
+    # (indices < 2^24); its cotangent is dropped by the int cast's vjp.
+    fdt = scene.vertices.dtype
+    tri_f = scene.vertices[scene.faces].reshape(nf, 9)   # differentiable
+    nrm_f = scene.normals[scene.faces].reshape(nf, 9)
+    uvt_f = scene.uvs[scene.faces].reshape(nf, 6)
+    meta_f = jnp.stack(
+        [scene.face_shape,
+         scene.shape_bsdf[scene.face_shape],
+         scene.shape_emitter[scene.face_shape]], -1).astype(fdt)
+    cols = [tri_f, nrm_f, uvt_f, meta_f]
+    off_vc = None
+    if getattr(scene.static, "has_vertex_colors", False) and \
+            scene.vertex_colors is not None:
+        off_vc = 27
+        cols.append(scene.vertex_colors[scene.faces].reshape(nf, 9))
+    off_nt = None
+    if getattr(scene.static, "has_normal_maps", False) and scene.textures:
+        off_nt = 27 + (9 if off_vc is not None else 0)
+        cols.append(scene.bsdfs["normal_tex"][
+            scene.shape_bsdf[scene.face_shape]].astype(fdt)[:, None])
+    table = jnp.concatenate(cols, -1)
+    rows = take_rows(table, fidx)                        # the ONE gather
+    tri_n = rows[:, 0:9].reshape(-1, 3, 3)
     p0 = tri_n[:, 0]
     p1 = tri_n[:, 1]
     p2 = tri_n[:, 2]
@@ -239,8 +264,7 @@ def compute_surface_interaction(
     ng = m.normalize(jnp.cross(p1 - p0, p2 - p0))
 
     # shading normals: interpolated vertex normals where available
-    nrm = scene.normals[scene.faces]            # (F, 3, 3)
-    nrm_n = take_rows(nrm.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+    nrm_n = rows[:, 9:18].reshape(-1, 3, 3)
     n0 = nrm_n[:, 0]
     n1 = nrm_n[:, 1]
     n2 = nrm_n[:, 2]
@@ -256,18 +280,16 @@ def compute_surface_interaction(
     ns = ns * m.safe_rsqrt(m.squared_norm(ns))[:, None]
 
     # uv texture coords
-    uvt = scene.uvs[scene.faces]                # (F, 3, 2)
-    uvt_n = take_rows(uvt.reshape(nf, 6), fidx).reshape(-1, 3, 2)
+    uvt_n = rows[:, 18:24].reshape(-1, 3, 2)
     uv = (uvt_n[:, 0] * b0[:, None] + uvt_n[:, 1] * b1[:, None]
           + uvt_n[:, 2] * b2[:, None])
 
     # bump/normal mapping (src/bsdfs/{normalmap,bumpmap}.cpp): perturb the
     # shading normal by the tangent-space texture before framing
-    if getattr(scene.static, "has_normal_maps", False) and scene.textures:
+    if off_nt is not None:
         from ..models import textures as tex_mod
-        ntex = take_rows_int(
-            scene.bsdfs["normal_tex"],
-            take_rows_int(scene.shape_bsdf[scene.face_shape], fidx))
+        ntex = jnp.round(jax.lax.stop_gradient(
+            rows[:, off_nt])).astype(jnp.int32)
         s0, t0 = m.coordinate_system(ns)
         flat = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]), uv.shape[:1] + (3,))
         tval = tex_mod.eval_select(scene.textures, ntex, uv, flat)
@@ -300,12 +322,9 @@ def compute_surface_interaction(
 
     sh_s, sh_t = m.coordinate_system(ns)
 
-    # face -> (shape, bsdf, emitter) in one small-table lookup
-    face_meta = jnp.stack(
-        [scene.face_shape,
-         scene.shape_bsdf[scene.face_shape],
-         scene.shape_emitter[scene.face_shape]], -1)   # (F, 3) int32
-    meta_n = take_rows_int(face_meta, fidx)
+    # face -> (shape, bsdf, emitter): columns 24:27 of the combined gather
+    meta_n = jnp.round(jax.lax.stop_gradient(
+        rows[:, 24:27])).astype(jnp.int32)
     shape_idx = meta_n[:, 0]
     bsdf_idx = meta_n[:, 1]
     emitter_idx = meta_n[:, 2]
@@ -321,9 +340,8 @@ def compute_surface_interaction(
     wi = m.to_local(ns, sh_s, sh_t, wi_world)
 
     vcolor = None
-    if getattr(scene.static, "has_vertex_colors", False) and             scene.vertex_colors is not None:
-        vc = scene.vertex_colors[scene.faces]   # (F, 3, 3)
-        vc_n = take_rows(vc.reshape(nf, 9), fidx).reshape(-1, 3, 3)
+    if off_vc is not None:
+        vc_n = rows[:, off_vc:off_vc + 9].reshape(-1, 3, 3)
         vcolor = (vc_n[:, 0] * b0[:, None] + vc_n[:, 1] * b1[:, None]
                   + vc_n[:, 2] * b2[:, None])
 
