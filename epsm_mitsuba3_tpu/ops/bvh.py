@@ -53,6 +53,13 @@ class BVH:
     c4_id: jnp.ndarray = None
     c4_cnt: jnp.ndarray = None
     c4_node: jnp.ndarray = None
+    #: treelet cut for binned incoherent traversal (ops/pallas_traverse
+    #: ``bvh_ray_intersect_treelet``): per entry an encoded kernel root
+    #: (>= 0 inner BVH4 node, < 0 fat leaf -(start*32+count+1)), the up-to
+    #: 4 binary nodes whose refitted boxes bound it, and their valid mask.
+    tl_enc: jnp.ndarray = None          # (K,) int32
+    tl_box_node: jnp.ndarray = None     # (K, 4) int32
+    tl_box_mask: jnp.ndarray = None     # (K, 4) bool
     n_levels: int = static_field(default=0)
 
 
@@ -165,14 +172,81 @@ def build(vertices, faces, leaf_size: int = LEAF_SIZE) -> BVH:
     bmin, bmax, meta, order = res
     levels = _node_levels(meta)
     c_id, c_cnt, c_node = collapse4(meta, MAX_LEAF4)
+    tl_enc, tl_bn, tl_bm = treelet_cut(c_id, c_cnt, c_node)
     return BVH(
         bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
         meta=jnp.asarray(meta), order=jnp.asarray(order),
         levels=jnp.asarray(levels),
         c4_id=jnp.asarray(c_id), c4_cnt=jnp.asarray(c_cnt),
         c4_node=jnp.asarray(c_node),
+        tl_enc=jnp.asarray(tl_enc), tl_box_node=jnp.asarray(tl_bn),
+        tl_box_mask=jnp.asarray(tl_bm),
         n_levels=int(levels.max()) + 1,
     )
+
+
+def treelet_cut(c_id, c_cnt, c_node, k_max: int = 128, t_max: int = 512):
+    """Host-side treelet cut of the BVH4 for binned incoherent traversal.
+
+    Splits the tree top-down (largest subtree first) into at most
+    ``k_max`` treelets of <= ``t_max`` triangles where possible.  Cut
+    entries are either inner BVH4 nodes (kernel seeds its stack there) or
+    fat leaves, encoded ``-(start*32 + count + 1)``.  Returns
+    (enc (K,) int32, box_node (K,4) int32, box_mask (K,4) bool) — the
+    boxes are looked up in the *refitted* binary nodes at dispatch, so
+    moved vertices stay correct."""
+    c_id = np.asarray(c_id)
+    c_cnt = np.asarray(c_cnt)
+    c_node = np.asarray(c_node)
+    n4 = c_id.shape[0]
+    cnt4 = np.zeros(n4, np.int64)
+    for i in range(n4 - 1, -1, -1):     # BFS order: children after parents
+        s = 0
+        for k in range(4):
+            if c_cnt[i, k] > 0:
+                s += c_cnt[i, k]
+            elif c_cnt[i, k] == 0:
+                s += cnt4[c_id[i, k]]
+        cnt4[i] = s
+
+    # entries: ("inner", c4_id) | ("leaf", (start, count, box_node))
+    frontier = [("inner", 0)]
+
+    def tris_of(e):
+        return cnt4[e[1]] if e[0] == "inner" else e[1][1]
+
+    while len(frontier) < k_max:
+        cand = [e for e in frontier if e[0] == "inner" and tris_of(e) > t_max]
+        if not cand:
+            break
+        e = max(cand, key=tris_of)
+        frontier.remove(e)
+        i = e[1]
+        for k in range(4):
+            if c_cnt[i, k] == 0:
+                frontier.append(("inner", c_id[i, k]))
+            elif c_cnt[i, k] > 0:
+                frontier.append(("leaf", (c_id[i, k], c_cnt[i, k],
+                                          c_node[i, k])))
+
+    K = len(frontier)
+    enc = np.zeros(K, np.int32)
+    box_node = np.zeros((K, 4), np.int32)
+    box_mask = np.zeros((K, 4), bool)
+    for j, e in enumerate(frontier):
+        if e[0] == "inner":
+            i = e[1]
+            enc[j] = i
+            for k in range(4):
+                if c_cnt[i, k] != -1:
+                    box_node[j, k] = c_node[i, k]
+                    box_mask[j, k] = True
+        else:
+            start, count, bn = e[1]
+            enc[j] = -(int(start) * 32 + int(count) + 1)
+            box_node[j, 0] = bn
+            box_mask[j, 0] = True
+    return enc, box_node, box_mask
 
 
 def refit(bvh: BVH, vertices, faces) -> BVH:

@@ -161,7 +161,7 @@ def _sort4_desc(items):
     return [i0, i1, i2, i3]
 
 
-def _traverse_kernel(nodes_ref, tri_ref,
+def _traverse_kernel(nodes_ref, tri_ref, roots_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      maxt_ref,
                      t_ref, u_ref, v_ref, slot_ref,
@@ -184,10 +184,36 @@ def _traverse_kernel(nodes_ref, tri_ref,
     u_ref[:, :] = jnp.zeros_like(ox)
     v_ref[:, :] = jnp.zeros_like(ox)
     slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
-    stack_ref[0] = 0                       # root
+    # per-block root (treelet binning): >= 0 = inner BVH4 node to seed the
+    # stack with; < 0 = a fat-leaf treelet encoded -(start*32 + count + 1)
+    # — no traversal, just the leaf's triangle tests
+    root = roots_ref[pl.program_id(0)]
+    stack_ref[0] = jnp.maximum(root, 0)
     key_ref[0] = jnp.float32(0.0)
     tmax_ref[0] = jnp.max(maxt_ref[:, :])  # packet t upper bound
     max_tri_slot = tri_ref.shape[0] * 128 - 1
+
+    @pl.when(root < 0)
+    def _():
+        enc = -(root + 1)
+        cid = enc // 32
+        cnt_i = enc % 32
+        tb = t_ref[:, :]
+        ub = u_ref[:, :]
+        vb = v_ref[:, :]
+        sb = slot_ref[:, :]
+        for j in range(MAX_LEAF4):
+            tri = _fetch(tri_ref, jnp.minimum(cid + j, max_tri_slot))
+            t, u, v, h = _mt(ox, oy, oz, dx, dy, dz, tri)
+            h = h & (t > 1e-6) & (t < tb) & (j < cnt_i)
+            tb = jnp.where(h, t, tb)
+            ub = jnp.where(h, u, ub)
+            vb = jnp.where(h, v, vb)
+            sb = jnp.where(h, cid + j, sb)
+        t_ref[:, :] = tb
+        u_ref[:, :] = ub
+        v_ref[:, :] = vb
+        slot_ref[:, :] = sb
 
     def body(sp):
         node = stack_ref[sp - 1]
@@ -275,10 +301,11 @@ def _traverse_kernel(nodes_ref, tri_ref,
 
         return sp + npush_ref[0]
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, 1)
+    jax.lax.while_loop(lambda sp: sp > 0, body,
+                       jnp.where(root < 0, 0, 1))
 
 
-def _traverse_kernel_mp(nodes_ref, tri_ref,
+def _traverse_kernel_mp(nodes_ref, tri_ref, roots_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         maxt_ref,
                         t_ref, u_ref, v_ref, slot_ref,
@@ -317,7 +344,9 @@ def _traverse_kernel_mp(nodes_ref, tri_ref,
     u_ref[:, :] = jnp.zeros_like(ox)
     v_ref[:, :] = jnp.zeros_like(ox)
     slot_ref[:, :] = jnp.full(ox.shape, -1, jnp.int32)
-    stack_ref[0] = 0
+    # per-block root (>= 0 only: the treelet dispatch uses the single-
+    # stack kernel; classic dispatch passes all-zeros)
+    stack_ref[0] = jnp.maximum(roots_ref[pl.program_id(0)], 0)
     key_ref[0] = jnp.float32(0.0)
     tmax_ref[0] = jnp.max(maxt_ref[:, :])
     max_tri_slot = tri_ref.shape[0] * 128 - 1
@@ -414,7 +443,7 @@ def _traverse_kernel_mp(nodes_ref, tri_ref,
     jax.lax.while_loop(lambda sp: sp > 0, body, 1)
 
 
-def _anyhit_kernel(nodes_ref, tri_ref,
+def _anyhit_kernel(nodes_ref, tri_ref, roots_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    maxt_ref,
                    occ_ref,
@@ -439,8 +468,22 @@ def _anyhit_kernel(nodes_ref, tri_ref,
     # lanes that cannot be hit (padding / zero-extent rays) start occluded
     # so the all-occluded early exit can fire
     occ_ref[:, :] = (maxt <= 1e-6).astype(jnp.int32)
-    stack_ref[0] = 0
+    root = roots_ref[pl.program_id(0)]
+    stack_ref[0] = jnp.maximum(root, 0)
     max_tri_slot = tri_ref.shape[0] * 128 - 1
+
+    @pl.when(root < 0)
+    def _():
+        enc = -(root + 1)
+        cid = enc // 32
+        cnt_i = enc % 32
+        ob = occ_ref[:, :]
+        for j in range(MAX_LEAF4):
+            tri = _fetch(tri_ref, jnp.minimum(cid + j, max_tri_slot))
+            t, _, _, h = _mt(ox, oy, oz, dx, dy, dz, tri)
+            h = h & (t > 1e-6) & (t < maxt) & (j < cnt_i)
+            ob = jnp.where(h, 1, ob)
+        occ_ref[:, :] = ob
 
     def body(carry):
         sp, _ = carry
@@ -487,7 +530,7 @@ def _anyhit_kernel(nodes_ref, tri_ref,
         return sp, jnp.all(occ_ref[:, :] > 0)
 
     jax.lax.while_loop(lambda c: (c[0] > 0) & ~c[1], body,
-                       (1, jnp.bool_(False)))
+                       (jnp.where(root < 0, 0, 1), jnp.bool_(False)))
 
 
 def _pack_component_major(arr2, comps):
@@ -502,12 +545,15 @@ def _pack_component_major(arr2, comps):
 @functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
                                                "sub_cull", "multi_pop"))
 def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
-         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_pop=0):
+         block_sub=BLOCK_SUB, sub_cull=SUB_CULL, multi_pop=0, roots=None):
     M = ox.shape[0]                       # (M, 128)
     grid = M // block_sub
+    if roots is None:
+        roots = jnp.zeros((grid,), jnp.int32)
     ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     n_slots = 1
     if multi_pop > 1:
         kern = functools.partial(_traverse_kernel_mp, sub_cull=sub_cull,
@@ -517,7 +563,7 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[full, full] + [ray_spec] * 7,
+        in_specs=[full, full, smem_full] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((M, 128), jnp.float32),
@@ -532,28 +578,32 @@ def _run(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt, interpret=False,
                         pltpu.SMEM((n_slots,), jnp.float32),
                         pltpu.SMEM((n_slots,), jnp.int32)],
         interpret=interpret,
-    )(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt)
+    )(nodes3, tri3, roots, ox, oy, oz, dx, dy, dz, maxt)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_sub",
                                                "sub_cull"))
 def _run_anyhit(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt,
-                interpret=False, block_sub=BLOCK_SUB, sub_cull=SUB_CULL):
+                interpret=False, block_sub=BLOCK_SUB, sub_cull=SUB_CULL,
+                roots=None):
     M = ox.shape[0]                       # (M, 128)
     grid = M // block_sub
+    if roots is None:
+        roots = jnp.zeros((grid,), jnp.int32)
     ray_spec = pl.BlockSpec((block_sub, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
         functools.partial(_anyhit_kernel, sub_cull=sub_cull),
         grid=(grid,),
-        in_specs=[full, full] + [ray_spec] * 7,
+        in_specs=[full, full, smem_full] + [ray_spec] * 7,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((M, 128), jnp.int32),
         scratch_shapes=[pltpu.SMEM((STACK_SIZE + 8,), jnp.int32)],
         interpret=interpret,
-    )(nodes3, tri3, ox, oy, oz, dx, dy, dz, maxt)
+    )(nodes3, tri3, roots, ox, oy, oz, dx, dy, dz, maxt)
     return occ
 
 
@@ -594,7 +644,7 @@ def _expand_bits10(v):
     return v
 
 
-def sort_keys(o, d, bmin, bmax, maxt=None):
+def sort_keys(o, d, bmin, bmax, maxt=None, key_mode: str = "interleave"):
     """Coherence keys: a 30-bit 6-D Morton code alternating origin and
     direction bits, coarse to fine (5 bits/axis each).
 
@@ -611,11 +661,24 @@ def sort_keys(o, d, bmin, bmax, maxt=None):
     qo = (jnp.clip((o - bmin) / ext, 0.0, 1.0) * 31.0).astype(jnp.uint32)
     qd = (jnp.clip(d * 0.5 + 0.5, 0.0, 1.0) * 31.0).astype(jnp.uint32)
     key = jnp.zeros(o.shape[:-1], jnp.uint32)
-    for b in range(4, -1, -1):           # MSB first: coarse cells dominate
+    if key_mode == "dmajor":
+        # direction-octant first, then origin Morton, then fine direction:
+        # candidate for bounce waves (random directions dominate the
+        # subtree union more than origins once the wave is area-spread)
         for a in range(3):
-            key = (key << 1) | ((qo[:, a] >> b) & 1)
-        for a in range(3):
-            key = (key << 1) | ((qd[:, a] >> b) & 1)
+            key = (key << 1) | ((qd[:, a] >> 4) & 1)
+        for b in range(4, -1, -1):
+            for a in range(3):
+                key = (key << 1) | ((qo[:, a] >> b) & 1)
+        for b in range(3, -1, -1):
+            for a in range(3):
+                key = (key << 1) | ((qd[:, a] >> b) & 1)
+    else:
+        for b in range(4, -1, -1):       # MSB first: coarse cells dominate
+            for a in range(3):
+                key = (key << 1) | ((qo[:, a] >> b) & 1)
+            for a in range(3):
+                key = (key << 1) | ((qd[:, a] >> b) & 1)
     if maxt is not None:
         # dead lanes (zero-extent rays from terminated path state) cluster
         # at the end: fully-dead packets exit after the root pop
@@ -649,6 +712,7 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
                              block_sub: int = None,
                              sub_cull: int = None,
                              multi_pop: int = None,
+                             key_mode: str = "interleave",
                              ) -> PreliminaryIntersection:
     """``coherent``: wavefront-coherence hint from the integrator (the
     analog of the reference's ``scene.ray_intersect_preliminary(...,
@@ -675,7 +739,7 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
         root = scene.bvh.c4_node[0]
         bmin = jnp.min(scene.bvh.bmin[root], axis=0)
         bmax = jnp.max(scene.bvh.bmax[root], axis=0)
-        keys = sort_keys(o, dvec, bmin, bmax, maxt_in)
+        keys = sort_keys(o, dvec, bmin, bmax, maxt_in, key_mode=key_mode)
         idx = jnp.arange(n, dtype=jnp.int32)
         (_, idx_s, ox0, oy0, oz0, dx0, dy0, dz0, mt0) = jax.lax.sort(
             (keys, idx, o[:, 0], o[:, 1], o[:, 2],
@@ -697,6 +761,223 @@ def bvh_ray_intersect_pallas(scene, ray: Ray, sort: bool = True,
     return PreliminaryIntersection(
         t=jnp.where(valid, t, jnp.inf),
         prim_uv=jnp.where(valid[:, None], jnp.stack([u, v], -1), 0.0),
+        prim_index=jnp.where(valid, prim, 0),
+        valid=valid,
+    )
+
+
+#: per-ray cap on treelet work items (p95 over the bench scene is 5 at
+#: K=128; rays entering more fall back to the classic packet kernel)
+TREELET_M = int(_os.environ.get("PALLAS_TREELET_M", 4))
+
+
+def bvh_ray_intersect_treelet(scene, ray: Ray,
+                              block_sub: int = None,
+                              sub_cull: int = None,
+                              m_cap: int = TREELET_M,
+                              ) -> PreliminaryIntersection:
+    """Treelet-binned closest-hit for INCOHERENT wavefronts.
+
+    The shared-stack packet kernel pays the union of subtrees a block's
+    rays touch; for post-bounce rays that union approaches the whole tree
+    (measured 30x redundancy, ~5 Mrays/s).  This dispatch splits the tree
+    into <=128 treelets (ops/bvh.py ``treelet_cut``) and traverses
+    per-(ray, treelet) work items instead:
+
+      1. slab-test every ray against every treelet box, keeping the
+         ``m_cap`` nearest entered treelets per ray (scan over K with an
+         insertion carry);
+      2. expand to (N, m_cap) items, sort by (treelet, ray Morton key);
+      3. place each treelet's items into a block-aligned arena slot — the
+         exact layout comes from ONE more sort by destination, with
+         filler entries occupying the padding holes (no scatters);
+      4. one kernel launch: each block's SMEM root is its treelet (fat
+         leaves encoded < 0), so a block traverses ONLY its treelet's
+         subtree over rays that provably enter it;
+      5. sort by payload back to (N, m_cap) and min-combine over items;
+         rays that entered > m_cap treelets re-run the classic kernel
+         (their count is the p95 tail) and merge.
+
+    Every step is dense vector work or a multi-operand bitonic
+    ``lax.sort`` — no per-lane gathers or scatters anywhere."""
+    bvh = scene.bvh
+    if block_sub is None:
+        block_sub = BLOCK_SUB
+    if sub_cull is None:
+        sub_cull = min(SUB_CULL, block_sub)
+    B = block_sub * 128
+    K = int(bvh.tl_enc.shape[0])
+    M = m_cap
+    nodes3, tri3 = pack_scene(bvh, scene.vertices, scene.faces)
+
+    o = jax.lax.stop_gradient(ray.o)
+    dvec = jax.lax.stop_gradient(ray.d)
+    n = o.shape[0]
+    maxt_in = jnp.where(jnp.isfinite(ray.maxt), ray.maxt,
+                        jnp.full((n,), jnp.float32(3.0e38)))
+
+    # treelet boxes from the REFITTED binary nodes (move-safe)
+    bmn = bvh.bmin[bvh.tl_box_node]                       # (K, 4, 3)
+    bmx = bvh.bmax[bvh.tl_box_node]
+    msk = bvh.tl_box_mask[..., None]
+    tb_min = jnp.min(jnp.where(msk, bmn, jnp.inf), 1)     # (K, 3)
+    tb_max = jnp.max(jnp.where(msk, bmx, -jnp.inf), 1)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(dvec) > 1e-12, dvec,
+                            jnp.where(dvec >= 0, 1e-12, -1e-12))
+    _INF = jnp.float32(3.0e38)
+    live = maxt_in > 1e-6
+
+    # --- 1. per-ray nearest-M entered treelets (scan over K) ---
+    def sel_step(carry, kin):
+        near_m, tid_m, cnt = carry
+        bn_k, bx_k, kidx = kin
+        t0 = (bn_k[None, :] - o) * inv_d
+        t1 = (bx_k[None, :] - o) * inv_d
+        nr = jnp.max(jnp.minimum(t0, t1), -1)
+        fr = jnp.min(jnp.maximum(t0, t1), -1)
+        hit = (nr <= fr) & (fr > 1e-6) & (nr < maxt_in) & live
+        key = jnp.where(hit, jnp.maximum(nr, 0.0), _INF)
+        kid = jnp.full((n,), kidx, jnp.int32)
+        # insertion: bubble (key, kid) through the ascending M-list
+        for j in range(M):
+            swap = key < near_m[j]
+            near_m[j], key = (jnp.where(swap, key, near_m[j]),
+                              jnp.where(swap, near_m[j], key))
+            tid_m[j], kid = (jnp.where(swap, kid, tid_m[j]),
+                             jnp.where(swap, tid_m[j], kid))
+        return (near_m, tid_m, cnt + hit.astype(jnp.int32)), None
+
+    near0 = [jnp.full((n,), _INF) for _ in range(M)]
+    tid0 = [jnp.full((n,), K, jnp.int32) for _ in range(M)]
+    (near_m, tid_m, cnt_hits), _ = jax.lax.scan(
+        sel_step, (near0, tid0, jnp.zeros((n,), jnp.int32)),
+        (tb_min, tb_max, jnp.arange(K, dtype=jnp.int32)))
+    overflow = cnt_hits > M
+
+    # --- 2. expand to items and sort by (treelet, ray Morton) ---
+    root = bvh.c4_node[0]
+    sb_min = jnp.min(bvh.bmin[root], axis=0)
+    sb_max = jnp.max(bvh.bmax[root], axis=0)
+    morton = sort_keys(o, dvec, sb_min, sb_max)           # (n,) uint32
+    NM = n * M
+
+    def bc(x):
+        return jnp.broadcast_to(x[:, None], (n, M)).reshape(NM)
+
+    tid_f = jnp.stack(tid_m, -1).reshape(NM)              # (n*M,)
+    valid_f = tid_f < K
+    key1 = jnp.where(
+        valid_f,
+        (tid_f.astype(jnp.uint32) << 25) | (bc(morton) >> 7),
+        jnp.uint32(0xFFFFFFFF))
+    payload = jnp.arange(NM, dtype=jnp.int32)
+
+    mt_f = jnp.where(valid_f, bc(maxt_in), 0.0)
+    (k_s, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, mt_s, pay_s) = jax.lax.sort(
+        (key1, bc(o[:, 0]), bc(o[:, 1]), bc(o[:, 2]),
+         bc(dvec[:, 0]), bc(dvec[:, 1]), bc(dvec[:, 2]), mt_f, payload),
+        num_keys=1)
+
+    # --- 3. arena destinations (searchsorted boundaries, no scatters) ---
+    probes = (jnp.arange(K + 1, dtype=jnp.uint32) << 25)
+    bounds = jnp.searchsorted(k_s, probes).astype(jnp.int32)   # (K+1,)
+    cnt_k = bounds[1:] - bounds[:-1]                           # (K,)
+    w_tot = bounds[K]
+    pcap = -(-cnt_k // B) * B
+    pad_end = jnp.cumsum(pcap)                                 # (K,)
+    pad_off = pad_end - pcap
+    a_used = pad_end[K - 1] if K > 0 else jnp.int32(0)
+    # delta[k] = pad_off[k] - bounds[k]; invalid tail shifts to >= a_used.
+    # tid is piecewise constant over the SORTED items, so the per-item
+    # delta is a K+1-entry sparse scatter + cumsum — no per-lane lookup.
+    delta = jnp.concatenate([pad_off - bounds[:K],
+                             (a_used - w_tot)[None]])          # (K+1,)
+    diffs = jnp.diff(delta, prepend=jnp.zeros((1,), delta.dtype))
+    dlt = jnp.cumsum(jnp.zeros((NM + 1,), jnp.int32)
+                     .at[bounds].add(diffs))[:NM]
+    dest_i = jnp.arange(NM, dtype=jnp.int32) + dlt
+
+    KB = K * B
+    fb = jnp.arange(B, dtype=jnp.int32)
+    dest_f2 = (pad_off[:, None] + cnt_k[:, None] + fb[None, :])
+    f_valid = fb[None, :] < (pcap - cnt_k)[:, None]
+    # invalid fillers park past every real dest (real < a_used <= NM+KB;
+    # invalid items land in [a_used, a_used + NM - W) <= NM+KB) — keep
+    # well inside int32
+    dest_f2 = jnp.where(f_valid, dest_f2,
+                        jnp.int32(NM + KB)
+                        + jnp.arange(KB, dtype=jnp.int32).reshape(K, B)
+                        ).reshape(KB)
+    zKB = jnp.zeros((KB,), jnp.float32)
+    pay_fill = NM + jnp.arange(KB, dtype=jnp.int32)
+
+    dest = jnp.concatenate([dest_i, dest_f2])
+    cat = lambda a: jnp.concatenate([a, zKB])
+    (d2, ox2, oy2, oz2, dx2, dy2, dz2, mt2, pay2) = jax.lax.sort(
+        (dest, cat(ox_s), cat(oy_s), cat(oz_s), cat(dx_s), cat(dy_s),
+         cat(dz_s), cat(mt_s), jnp.concatenate([pay_s, pay_fill])),
+        num_keys=1)
+
+    # --- 4. kernel over the arena with per-block treelet roots ---
+    L = NM + KB
+    Lp = -(-L // B) * B
+    if Lp != L:
+        padL = Lp - L
+        ox2, oy2, oz2, dx2, dy2, dz2, mt2 = (
+            jnp.concatenate([x, jnp.zeros((padL,), x.dtype)])
+            for x in (ox2, oy2, oz2, dx2, dy2, dz2, mt2))
+        pay2 = jnp.concatenate([pay2, NM + KB
+                                + jnp.arange(padL, dtype=jnp.int32)])
+    grid = Lp // B
+    blk_start = jnp.arange(grid, dtype=jnp.int32) * B
+    blk_tid = jnp.searchsorted(pad_end, blk_start, side="right")
+    roots_b = jnp.where(
+        blk_start < a_used,
+        bvh.tl_enc[jnp.minimum(blk_tid, K - 1)], 0).astype(jnp.int32)
+
+    def rs(x):
+        return x.reshape(Lp // 128, 128)
+
+    t_a, u_a, v_a, slot_a = _run(
+        nodes3, tri3, rs(ox2), rs(oy2), rs(oz2), rs(dx2), rs(dy2),
+        rs(dz2), rs(mt2), interpret=_interpret(), block_sub=block_sub,
+        sub_cull=sub_cull, roots=roots_b)
+
+    # --- 5. back to (n, M), min-combine, overflow fallback ---
+    (pay3, t3, u3, v3, s3) = jax.lax.sort(
+        (pay2, t_a.reshape(-1), u_a.reshape(-1), v_a.reshape(-1),
+         slot_a.reshape(-1)), num_keys=1)
+    t_nm = t3[:NM].reshape(n, M)
+    u_nm = u3[:NM].reshape(n, M)
+    v_nm = v3[:NM].reshape(n, M)
+    s_nm = s3[:NM].reshape(n, M)
+    t_nm = jnp.where(s_nm >= 0, t_nm, _INF)
+    jbest = jnp.argmin(t_nm, axis=1)
+    from .gather import take_along2
+    t_b = take_along2(t_nm, jbest)
+    u_b = take_along2(u_nm, jbest)
+    v_b = take_along2(v_nm, jbest)
+    s_b = take_along2(s_nm, jbest)
+
+    # classic fallback for the overflow tail (rays entering > M
+    # treelets); their dead-sorted packets cost ~1 pop when empty
+    ray_ov = Ray.make(o, dvec, maxt=jnp.where(overflow, maxt_in, 0.0))
+    pi_ov = bvh_ray_intersect_pallas(scene, ray_ov, sort=True,
+                                     coherent=False, block_sub=block_sub,
+                                     sub_cull=sub_cull)
+    t_ov = jnp.where(pi_ov.valid, pi_ov.t, _INF)
+    closer = overflow & (t_ov < t_b)
+    t_b = jnp.where(closer, t_ov, t_b)
+    u_b = jnp.where(closer, pi_ov.prim_uv[:, 0], u_b)
+    v_b = jnp.where(closer, pi_ov.prim_uv[:, 1], v_b)
+    prim = jnp.where(closer, pi_ov.prim_index,
+                     bvh.order[jnp.maximum(s_b, 0)])
+    valid = (t_b < _INF) & ((s_b >= 0) | closer)
+
+    return PreliminaryIntersection(
+        t=jnp.where(valid, t_b, jnp.inf),
+        prim_uv=jnp.where(valid[:, None], jnp.stack([u_b, v_b], -1), 0.0),
         prim_index=jnp.where(valid, prim, 0),
         valid=valid,
     )

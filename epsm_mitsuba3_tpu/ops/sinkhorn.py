@@ -28,19 +28,48 @@ import jax
 import jax.numpy as jnp
 
 
-def _softmin(eps, x, y, g, block: int = 4096):
+def _softmin(eps, x, y, g, block: int = 4096, jblock: int = 4096):
     """f_i = -eps * LSE_j( g_j/eps - |x_i-y_j|^2/(2 eps) ).
 
     The cost expands as |x|²/2 + |y|²/2 - x·y: the cross term is a matmul
-    (MXU) and only (block, M) logits are materialised at a time."""
+    (MXU).  Flash-style double blocking: rows by ``block`` (lax.map) and
+    columns by ``jblock`` with an ONLINE logsumexp (running max + sum in
+    the scan carry), so only a (block, jblock) logits tile is ever live —
+    the full (N, M) tensor never exists and HBM sees each input once per
+    row block instead of one 1-GB logits round-trip per softmin."""
     n = x.shape[0]
-    y2 = 0.5 * jnp.sum(y * y, -1)
+    mtot = y.shape[0]
+    mb = -(-mtot // jblock)
+    padm = mb * jblock - mtot
+    yp = jnp.concatenate([y, jnp.zeros((padm, y.shape[1]), y.dtype)], 0) \
+        if padm else y
+    # padded columns carry g = -inf => their exp contribution is exactly 0
+    gp = jnp.concatenate([g, jnp.full((padm,), -jnp.inf, g.dtype)], 0) \
+        if padm else g
+    yb = yp.reshape(mb, jblock, y.shape[1])
+    y2b = 0.5 * jnp.sum(yb * yb, -1)
+    gb = gp.reshape(mb, jblock)
 
     def row_block(xb):
-        cross = xb @ y.T  # (B, M) on the MXU
         x2 = 0.5 * jnp.sum(xb * xb, -1)
-        logits = (g[None, :] - y2[None, :] - x2[:, None] + cross) / eps
-        return -eps * jax.scipy.special.logsumexp(logits, axis=1)
+
+        def col_step(carry, ys):
+            mx, sm = carry
+            ybk, y2k, gk = ys
+            logits = (gk[None, :] - y2k[None, :] - x2[:, None]
+                      + xb @ ybk.T) / eps
+            bm = jnp.max(logits, 1)
+            new_mx = jnp.maximum(mx, bm)
+            # exp(-inf - -inf) can only arise if every logit so far is
+            # -inf, which a finite g forbids on real columns
+            sm = (sm * jnp.exp(mx - new_mx)
+                  + jnp.sum(jnp.exp(logits - new_mx[:, None]), 1))
+            return (new_mx, sm), None
+
+        init = (jnp.full((xb.shape[0],), -jnp.inf, x.dtype),
+                jnp.zeros((xb.shape[0],), x.dtype))
+        (mx, sm), _ = jax.lax.scan(col_step, init, (yb, y2b, gb))
+        return -eps * (mx + jnp.log(sm))
 
     if n <= block:
         return row_block(x)

@@ -200,3 +200,36 @@ def test_brute_bvh_dispatch_boundary():
                                atol=1e-4)
     assert (np.asarray(pi_a.prim_index)[m]
             == np.asarray(pi_b.prim_index)[m]).all()
+
+
+def test_treelet_traversal_matches_classic():
+    """Treelet-binned incoherent dispatch (bvh_ray_intersect_treelet) must
+    agree with the classic packet kernel on closest hits — random
+    bounce-like rays, including dead lanes and overflow-tail fallback."""
+    import epsm_mitsuba3_tpu as mi
+    from epsm_mitsuba3_tpu.ops import pallas_traverse as PT
+    from scenes import cornell_box_mesh
+
+    scene = mi.load_dict(cornell_box_mesh(res=16, spp=1, subdiv=90))
+    assert scene.bvh is not None and scene.bvh.tl_enc is not None
+    rng = np.random.default_rng(5)
+    n = 4096
+    o = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+                    * np.asarray([1, 1, 1], np.float32))
+    o = o.at[:, 1].add(1.0)     # inside the box
+    v = rng.normal(size=(n, 3))
+    d = jnp.asarray((v / np.linalg.norm(v, -1, keepdims=True))
+                    .astype(np.float32))
+    maxt = jnp.where(jnp.arange(n) % 7 == 0, 0.0, jnp.inf)   # dead lanes
+    ray = Ray.make(o, d, maxt=maxt)
+
+    pi_c = PT.bvh_ray_intersect_pallas(scene, ray)
+    pi_t = PT.bvh_ray_intersect_treelet(scene, ray)
+    assert np.array_equal(np.asarray(pi_c.valid), np.asarray(pi_t.valid))
+    val = np.asarray(pi_c.valid)
+    assert np.allclose(np.asarray(pi_c.t)[val], np.asarray(pi_t.t)[val],
+                       rtol=1e-5, atol=1e-6)
+    # same triangle except exact-tie cases
+    same = (np.asarray(pi_c.prim_index)[val]
+            == np.asarray(pi_t.prim_index)[val])
+    assert same.mean() > 0.999, same.mean()
