@@ -388,8 +388,8 @@ def main():
         ("toy", 240, sec_toy),
         ("bvh", 300, sec_bvh),
         ("roofline", 150, sec_roofline),
-        ("manifold_iter", 240, sec_manifold),
         ("bathroom_iter", 420, sec_bathroom),
+        ("manifold_iter", 240, sec_manifold),
     ]
     only = os.environ.get("BENCH_SECTIONS")   # comma list, for dev runs
     for name, est, fn in sections:

@@ -14,6 +14,7 @@ graph across bounces (exactly the reference's detached-PRB estimator).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -210,8 +211,80 @@ def _local_contrib(scene, rec_ray_o, rec_ray_d, pi, next_ray_d, st_beta,
     return lo
 
 
+def _prb_backward_compact(scene, sampler, ray: Ray, dL, L_total,
+                          max_depth: int, rr_depth: int, trace, chunks: int):
+    """Detached-PRB replay with dead-lane compaction (VERDICT r4 Next #4).
+
+    Mirrors ``prb_backward`` (reparam_cfg=None) but bounces 1+ run
+    through ``path.bounce_compacted``: lanes are re-sorted active-first
+    exactly as the recording primal did (stable argsort of the replayed
+    — identical — active flags reproduces the primal's permutation, so
+    the recorded trace frames line up), and fully-dead chunks skip both
+    the detached re-bounce AND the per-chunk ``jax.grad`` of the local
+    contribution.  Dead lanes contribute exactly zero cotangent in the
+    uncompacted replay (every lobe of ``_local_contrib`` is
+    where-masked by activity), so skipping them is identical."""
+    n = ray.o.shape[0]
+    diff0, rest, treedef = split_scene(scene)
+    grads = [jnp.zeros_like(d) if d is not None else None for d in diff0]
+
+    st = P.init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    st = st._replace(L=L_total)
+    scene_d = jax.lax.stop_gradient(scene)
+
+    def grad_step(grads, s_pre, rec, dL_c):
+        _, s2_peek = smp.next_2d(s_pre.sampler)
+        L_remaining = s_pre.L - rec["le"] - rec["lr_dir"]
+
+        def scalar_obj(diff):
+            sc = merge_scene(diff, rest, treedef)
+            lo = _local_contrib(
+                sc, s_pre.ray_o, s_pre.ray_d, _pi_of(rec["si"]),
+                rec["wo_world"], s_pre.beta, s_pre.prev_p,
+                s_pre.prev_bsdf_pdf, s_pre.prev_bsdf_delta, s_pre.active,
+                jax.lax.stop_gradient(L_remaining), s2_peek, max_depth,
+                s_pre.depth, rr_depth, occl=rec["occl"], rp_em=None,
+            )
+            return jnp.sum(lo * dL_c)
+
+        g = jax.grad(scalar_obj)(diff0)
+        return [(a + b) if a is not None else None
+                for a, b in zip(grads, g)]
+
+    def fix_L(s_pre, s_post, rec):
+        # replay bookkeeping: L carries the REMAINING radiance, not the
+        # accumulated one (dead lanes: le = lr_dir = 0, so the skipped
+        # chunk's unchanged L is exactly this fixup's masked no-op)
+        return s_post._replace(L=s_pre.L - rec["le"] - rec["lr_dir"])
+
+    # bounce 0: full width, original lane order (matches the recording
+    # primal, which runs the coherent camera bounce uncompacted)
+    trace0 = jax.tree.map(lambda a: a[0], trace)
+    st_pre = st
+    st, rec0 = P.bounce(scene_d, st, 0, max_depth, rr_depth, cached=trace0)
+    grads = grad_step(grads, st_pre, rec0, dL)
+    st = fix_L(st_pre, st, rec0)
+
+    if max_depth > 1:
+        trace_rest = jax.tree.map(lambda a: a[1:], trace)
+
+        def body(carry, cached):
+            st, grads, dLp = carry
+            st2, _rec, dLp, grads = P.bounce_compacted(
+                scene_d, st, dLp, n, chunks, max_depth, rr_depth,
+                cached=cached, chunk_fn=grad_step, chunk_carry=grads,
+                post_fn=fix_L)
+            return (st2, grads, dLp), None
+
+        (st, grads, _), _ = jax.lax.scan(
+            body, (st, grads, dL), trace_rest, length=max_depth - 1,
+            unroll=True)
+    return grads
+
+
 def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
-                 rr_depth: int, reparam_cfg=None, trace=None):
+                 rr_depth: int, reparam_cfg=None, trace=None,
+                 compact_chunks: int = 0):
     """Replay loop accumulating scene-parameter cotangents.
 
     ``trace``: per-bounce {'pi','occl'} stacked along depth from
@@ -223,6 +296,10 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
     the incident direction is warped by the attached warp field and the
     contribution multiplied by the jacobian determinant, adding visibility
     (silhouette) gradients the detached estimator misses."""
+    if compact_chunks and reparam_cfg is None and trace is not None:
+        return _prb_backward_compact(scene, sampler, ray, dL, L_total,
+                                     max_depth, rr_depth, trace,
+                                     compact_chunks)
     n = ray.o.shape[0]
     diff0, rest, treedef = split_scene(scene)
     grads0 = [jnp.zeros_like(d) if d is not None else None for d in diff0]
@@ -479,6 +556,26 @@ def render_prb_forward(scene, d_scene, seed=0, sensor_idx: int = 0,
     return dimg
 
 
+def _compact_chunks(scene, n, max_depth):
+    """Dead-lane compaction policy — DEFAULT OFF, measured to lose
+    (results/profile_r05.md "dead-lane compaction" + compact_probe*.py):
+    on the bench BVH scene dead lanes are already cheap at full width
+    (the traversal kernel culls dead packets: a 2M-lane bounce costs
+    380 ms at live=0.33 vs 609 ms all-live), a bounce scales SUBLINEARLY
+    with width (halving the wavefront gives 0.61x the time, so 8 chunks
+    of n/8 cost 1.66x the proportional share), and the active-first
+    permute costs ~95 ms/bounce — net: 95 + ceil(8f)*126 ms >= the
+    full-width cost at every measured live fraction f.  The machinery
+    stays (tests/test_compact.py): ``PRB_COMPACT_CHUNKS=C`` enables it
+    for scenes where shading dominates traversal harder than here."""
+    if scene.bvh is None or max_depth <= 1:
+        return 0
+    c = int(os.environ.get("PRB_COMPACT_CHUNKS", "0"))
+    if c <= 1 or n % c:
+        return 0
+    return c
+
+
 @functools.lru_cache(maxsize=None)
 def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
                  execution="megakernel", rp_items=()):
@@ -493,8 +590,14 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
         if execution == "megakernel":
-            L, valid = P.sample_primal(scene, sampler, ray, max_depth,
-                                       rr_depth)
+            cc = _compact_chunks(scene, n, max_depth)
+            if cc:
+                L, valid = P.sample_primal_compact(scene, sampler, ray,
+                                                   max_depth, rr_depth,
+                                                   chunks=cc)
+            else:
+                L, valid = P.sample_primal(scene, sampler, ray, max_depth,
+                                           rr_depth)
         else:   # decomposed per-bounce dispatch (LoopRecord=0 analog)
             L, valid = P.sample_primal_wavefront(
                 scene, sampler, ray, max_depth, rr_depth,
@@ -512,8 +615,17 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
         n = sensor.width * sensor.height * spp
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
-        L, valid, trace = P.sample_primal_recorded(scene, sampler, ray,
-                                                   max_depth, rr_depth)
+        # a compact trace lives in per-bounce PERMUTED frames: only the
+        # compacted replay can consume it, so the reparam family (which
+        # replays uncompacted) records uncompacted
+        cc = 0 if reparam else _compact_chunks(scene, n, max_depth)
+        if cc:
+            L, valid, trace = P.sample_primal_compact(
+                scene, sampler, ray, max_depth, rr_depth, chunks=cc,
+                record=True)
+        else:
+            L, valid, trace = P.sample_primal_recorded(scene, sampler, ray,
+                                                       max_depth, rr_depth)
         img = _film_fn(L, jax.lax.stop_gradient(pos),
                        jax.lax.stop_gradient(weight), sensor, spp)
         return img, (scene, seed, L, trace)
@@ -525,9 +637,11 @@ def _make_render(sensor_idx, spp, max_depth, rr_depth, reparam=False,
         sampler = smp.seed(seed, n, kind=scene.static.sampler_kind, spp=spp)
         sampler, ray, weight, pos = common.sample_rays(sensor, sampler, spp)
         dL = film_adjoint(g_img, pos, weight, sensor, spp, n)
+        cc = 0 if reparam else _compact_chunks(scene, n, max_depth)
         grads = prb_backward(
             scene, sampler, ray, dL, L_total, max_depth, rr_depth,
-            reparam_cfg=rp_cfg if reparam else None, trace=trace)
+            reparam_cfg=rp_cfg if reparam else None, trace=trace,
+            compact_chunks=cc)
         # assemble scene cotangent
         diff0, rest, treedef = split_scene(scene)
         if reparam and not rp_cfg.get("_no_cam"):

@@ -307,6 +307,233 @@ def _permute_lanes(tree, perm, n):
         tree)
 
 
+def _permute_lanes_packed(tree, perm, n):
+    """Permute per-lane leaves through ONE packed row gather.
+
+    TPU per-lane gathers are latency-bound: ~12 ns/lane per gather
+    INSTRUCTION at 2M lanes regardless of row width
+    (results/profile_r05.md), so permuting the ~15 LoopState leaves
+    individually costs more than a whole bounce.  Bitcast every
+    f32/i32/u32/bool leaf into f32 columns, concatenate to (n, K),
+    gather rows once, split back.  Leaves with other dtypes (f64
+    variants) fall back to a direct gather."""
+    packed, meta, treedef = _pack_lanes(tree, n)
+    if packed is not None:
+        packed = packed[perm]
+    return _unpack_lanes(packed, meta, treedef,
+                         raw_permute=lambda x: x[perm])
+
+
+def _pack_lanes(tree, n):
+    """Pack per-lane f32/i32/u32/bool leaves into one (n, K) f32 matrix
+    (+ a meta list to unpack).  Leaves that can't ride f32 columns are
+    returned unpacked."""
+    leaves, treedef = jax.tree.flatten(tree)
+    cols, meta = [], []
+    for x in leaves:
+        if not (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n):
+            meta.append((None, x))
+            continue
+        x2 = x[:, None] if x.ndim == 1 else x
+        if x2.ndim != 2:
+            meta.append(("raw", x))
+            continue
+        dt = x2.dtype
+        if dt == jnp.bool_:
+            cols.append(jax.lax.bitcast_convert_type(
+                x2.astype(jnp.uint32), jnp.float32))
+            meta.append(("bool", x2.shape[1], x.ndim))
+        elif dt == jnp.float32:
+            cols.append(x2)
+            meta.append(("f32", x2.shape[1], x.ndim))
+        elif dt in (jnp.int32, jnp.uint32):
+            cols.append(jax.lax.bitcast_convert_type(x2, jnp.float32))
+            meta.append((str(dt), x2.shape[1], x.ndim))
+        else:
+            meta.append(("raw", x))
+    packed = jnp.concatenate(cols, axis=1) if cols else None
+    return packed, meta, treedef
+
+
+def _unpack_lanes(packed, meta, treedef, raw_permute=None):
+    out, off = [], 0
+    for mm in meta:
+        if mm[0] is None:
+            out.append(mm[1])
+            continue
+        if mm[0] == "raw":
+            x = mm[1]
+            out.append(x if raw_permute is None else raw_permute(x))
+            continue
+        kind, ncol, nd = mm
+        sl = packed[:, off:off + ncol]
+        off += ncol
+        if kind == "bool":
+            sl = jax.lax.bitcast_convert_type(sl, jnp.uint32) != 0
+        elif kind != "f32":
+            sl = jax.lax.bitcast_convert_type(sl, jnp.dtype(kind))
+        out.append(sl[:, 0] if nd == 1 else sl)
+    return jax.tree.unflatten(treedef, out)
+
+
+def _partition_active_first(tree, active, n):
+    """Stable partition (active lanes first) of every per-lane leaf.
+
+    A full ``argsort`` of 2M keys costs ~60 ms on a v5e; a stable
+    partition only needs two prefix sums for the destination positions
+    and ONE packed row scatter (results/compact_probe2.py)."""
+    act32 = active.astype(jnp.int32)
+    na = jnp.cumsum(act32)
+    total = na[-1]
+    pos = jnp.where(active, na - 1, total + jnp.cumsum(1 - act32) - 1)
+    packed, meta, treedef = _pack_lanes(tree, n)
+    if packed is not None:
+        packed = jnp.zeros_like(packed).at[pos].set(packed)
+    return _unpack_lanes(packed, meta, treedef,
+                         raw_permute=lambda x: jnp.zeros_like(x)
+                         .at[pos].set(x))
+
+
+def _chunked(x, chunks, n):
+    """(n, ...) -> (chunks, n/chunks, ...); scalars broadcast to (chunks,)."""
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+        return x.reshape((chunks, n // chunks) + x.shape[1:])
+    return jnp.broadcast_to(jnp.asarray(x), (chunks,) + jnp.shape(x))
+
+
+def _unchunked(x, chunks, n):
+    if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[:1] == (chunks,) \
+            and x.shape[1] == n // chunks:
+        return x.reshape((n,) + x.shape[2:])
+    # scalar leaf broadcast over chunks: a skipped chunk keeps a stale
+    # sampler dim counter, a run chunk the advanced one — take the max
+    # (every run chunk consumes the identical static dim count)
+    return jnp.max(x, axis=0)
+
+
+def _dummy_pi(m_, dtype=jnp.float32):
+    from ..models.records import PreliminaryIntersection
+    return PreliminaryIntersection(
+        t=jnp.full((m_,), jnp.inf, dtype),
+        prim_uv=jnp.zeros((m_, 2), dtype),
+        prim_index=jnp.full((m_,), -1, jnp.int32),
+        valid=jnp.zeros((m_,), jnp.bool_),
+    )
+
+
+def bounce_compacted(scene_d, st: LoopState, extra, n: int, chunks: int,
+                     max_depth: int, rr_depth: int, cached=None,
+                     chunk_fn=None, chunk_carry=None, post_fn=None):
+    """One bounce with dead-lane compaction (VERDICT r4 Next #4).
+
+    Lanes are stably sorted active-first (one packed gather over the
+    whole (state, extra) tree), the wavefront is split into ``chunks``
+    equal chunks, and each chunk runs the full bounce under
+    ``lax.cond(any-lane-active, bounce, identity)`` — static shapes
+    throughout, but chunks past the live prefix skip the traversal +
+    shading + NEE work entirely at runtime.  On the bench BVH scene the
+    live fraction entering bounces 1..5 is [0.78, 0.49, 0.33, 0.22,
+    0.16] (results/live_fraction.py), so tail bounces run at a fraction
+    of full-width cost.
+
+    Per-lane results are identical to ``bounce`` (every op is
+    lane-local).  A replay recomputing the same active flags recovers
+    the identical permutation (stable argsort of identical keys).
+
+    ``extra``: pytree of per-lane arrays permuted along with the state
+    (the primal threads the lane-id map; the replay threads δL).
+    ``cached``: recorded {'pi','occl'} for this bounce, already in the
+    POST-permutation frame (the trace is recorded that way).
+    ``chunk_fn(carry, st_c, rec_c, extra_c) -> carry``: optional extra
+    per-chunk work inside the same cond (the replay's gradient
+    accumulation); ``carry`` rides across chunks and is returned.
+    ``post_fn(s_pre, s_post, rec) -> s_post``: optional state fixup
+    inside the run branch (the replay's L-remaining bookkeeping; a
+    skipped chunk's state passes through unchanged, which must be the
+    fixup's masked no-op).
+
+    Returns (new_state, record, extra_permuted, carry) — state/record in
+    the post-permutation frame.
+    """
+    m_ = n // chunks
+    st, extra = _partition_active_first((st, extra), st.active, n)
+    xs = [jax.tree.map(lambda x: _chunked(x, chunks, n), st),
+          jax.tree.map(lambda x: _chunked(x, chunks, n), extra)]
+    if cached is not None:
+        xs.append(jax.tree.map(
+            lambda x: x.reshape((chunks, m_) + x.shape[1:]), cached))
+
+    def chunk_body(carry, xs_c):
+        st_c, extra_c = xs_c[0], xs_c[1]
+        cached_c = xs_c[2] if cached is not None else None
+
+        def run(args):
+            carry, s = args
+            s2, rec = bounce(scene_d, s, 1, max_depth, rr_depth,
+                             cached=cached_c)
+            rec_small = {"pi": rec["pi"], "occl": rec["occl"]}
+            if post_fn is not None:
+                s2 = post_fn(s, s2, rec)
+            if chunk_fn is not None:
+                carry = chunk_fn(carry, s, rec, extra_c)
+            return carry, s2, rec_small
+
+        def skip(args):
+            carry, s = args
+            return carry, s, {"pi": _dummy_pi(m_, s.ray_o.dtype),
+                              "occl": jnp.zeros((m_,), jnp.bool_)}
+
+        carry, st2_c, rec_c = jax.lax.cond(
+            jnp.any(st_c.active), run, skip, (carry, st_c))
+        return carry, (st2_c, rec_c)
+
+    carry, (st2c, recc) = jax.lax.scan(chunk_body, chunk_carry, tuple(xs))
+    st2 = jax.tree.map(lambda x: _unchunked(x, chunks, n), st2c)
+    rec = jax.tree.map(lambda x: _unchunked(x, chunks, n), recc)
+    return st2, rec, extra, carry
+
+
+def sample_primal_compact(scene, sampler, ray: Ray, max_depth: int,
+                          rr_depth: int = 5, chunks: int = 8,
+                          record: bool = False):
+    """``sample_primal``/``sample_primal_recorded`` with dead-lane
+    compaction: bounce 0 (coherent camera wave) runs full-width; bounces
+    1+ run through ``bounce_compacted``.  Results are returned in the
+    ORIGINAL lane order (the composed permutation is inverted at the
+    end); a recorded trace stays in each bounce's permuted frame — the
+    replay recomputes the identical permutations from its replayed
+    active flags."""
+    n = ray.o.shape[0]
+    st = init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    scene_d = jax.lax.stop_gradient(scene)
+    lane = jnp.arange(n, dtype=jnp.int32)
+
+    st, rec0 = bounce(scene_d, st, 0, max_depth, rr_depth)
+    first = {"pi": rec0["pi"], "occl": rec0["occl"]}
+
+    def body(carry, _):
+        st, lane = carry
+        st2, rec, lane, _ = bounce_compacted(
+            scene_d, st, lane, n, chunks, max_depth, rr_depth)
+        return (st2, lane), rec
+
+    if max_depth > 1:
+        (st, lane), rest = jax.lax.scan(body, (st, lane), None,
+                                        length=max_depth - 1, unroll=True)
+        trace = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), first, rest) \
+            if record else None
+    else:
+        trace = jax.tree.map(lambda a: a[None], first) if record else None
+    # un-permute by scattering through the carried lane-id map (an
+    # argsort-based inverse costs ~60 ms at 2M lanes; a scatter ~27 ms)
+    L = jnp.zeros_like(st.L).at[lane].set(st.L)
+    valid = jnp.zeros_like(st.depth).at[lane].set(st.depth) > 0
+    if record:
+        return L, valid, trace
+    return L, valid
+
+
 def sample_primal_wavefront(scene, sampler, ray: Ray, max_depth: int,
                             rr_depth: int = 5, sort_lanes: bool = True):
     """Wavefront execution of the same estimator.

@@ -202,6 +202,7 @@ def test_brute_bvh_dispatch_boundary():
             == np.asarray(pi_b.prim_index)[m]).all()
 
 
+@pytest.mark.slow
 def test_treelet_traversal_matches_classic():
     """Treelet-binned incoherent dispatch (bvh_ray_intersect_treelet) must
     agree with the classic packet kernel on closest hits — random

@@ -88,6 +88,7 @@ def test_volprb_vacuum_matches_prb_albedo_grad():
     np.testing.assert_allclose(av, ap, atol=0.08 * m)
 
 
+@pytest.mark.slow
 def test_volprb_emitter_radiance_grad_through_fog():
     """Emitter radiance is linear in the image -> CRN FD is exact; the
     attached emission term must survive attenuation through the fog."""
