@@ -282,6 +282,141 @@ def _prb_backward_compact(scene, sampler, ray: Ray, dL, L_total,
     return grads
 
 
+def _prb_backward_fused(scene, sampler, ray: Ray, dL, L_total,
+                        max_depth: int, rr_depth: int, trace):
+    """Detached-PRB replay with the per-bounce work FUSED into one
+    ``jax.grad(..., has_aux=True)``.
+
+    The two-step body (detached ``P.bounce`` to advance state, then
+    ``jax.grad(_local_contrib)``) duplicates the surface interaction,
+    the NEE emitter sample/eval and the emitter-hit LE — ~60 ms of the
+    ~187 ms replay bounce at 2M lanes (results/compact_probe4.py).
+    Here the gradient objective itself computes the attached local
+    contribution (exactly ``_local_contrib``'s attachment discipline)
+    AND returns the next detached loop state as aux: the attached ops'
+    primals are bitwise the detached values (stop_gradient is identity
+    in the primal), and the RNG stream is consumed in the primal
+    bounce's exact order (NEE 2d, BSDF 1d+2d, RR 1d), so the state
+    advance matches the recording primal lane-for-lane."""
+    from ..ops.gather import take_rows
+
+    n = ray.o.shape[0]
+    diff0, rest, treedef = split_scene(scene)
+    grads0 = [jnp.zeros_like(d) if d is not None else None for d in diff0]
+    st0 = P.init_state(sampler, jax.tree.map(jax.lax.stop_gradient, ray), n)
+    st0 = st0._replace(L=L_total)
+
+    def body(carry, cached):
+        st, grads = carry
+
+        def obj(diff):
+            sc = merge_scene(diff, rest, treedef)
+            sg = jax.lax.stop_gradient
+            pi = cached["pi"]
+            ray_b = Ray.make(st.ray_o, st.ray_d)
+            si = I.compute_surface_interaction(sc, ray_b, pi, RayFlags.All)
+
+            le = P._emitter_hit_le(sc, si, st.ray_d, st.prev_p,
+                                   st.prev_bsdf_pdf, st.prev_bsdf_delta,
+                                   st.active)
+            le = st.beta * le
+
+            # --- NEE, attached (_local_contrib discipline) ---
+            bsdf_flags = B.flags_of(sc.bsdfs, si.bsdf_index)
+            active_next = (st.depth + 1 < max_depth) & si.valid & st.active
+            active_em = active_next & B.has_flag(bsdf_flags,
+                                                 B.BSDFFlags.Smooth)
+            sampler2, s2 = smp.next_2d(st.sampler)
+            ds, em_weight_det = E.sample_direction(
+                sc.emitters, sc.static.emitter_kinds, sg(si.p), s2,
+                sc.vertices, sc.faces, sc.em_faces, sc.textures,
+                sc.static.env_texture)
+            active_em = active_em & (ds.pdf != 0.0)
+            occl_mask = ~cached["occl"]
+            d_att = m.normalize(ds.p - si.p)
+            em_val = E.eval_hit(sc.emitters, ds.emitter_index,
+                                m.dot(-d_att, ds.n),
+                                kinds_present=sc.static.emitter_kinds)
+            em_weight = jnp.where(
+                (ds.pdf > 0.0)[..., None],
+                em_val / sg(jnp.maximum(ds.pdf, 1e-20))[..., None], 0.0)
+            kind_row = take_rows(sc.emitters["kind"][:, None],
+                                 jnp.maximum(ds.emitter_index, 0))[..., 0]
+            is_area_kind = ((kind_row == E.KIND_AREA)
+                            | (kind_row == E.KIND_DIRECTIONALAREA))
+            em_weight = jnp.where(is_area_kind[..., None], em_weight,
+                                  em_weight_det)
+            em_weight = jnp.where((active_em & occl_mask)[..., None],
+                                  em_weight, 0.0)
+            wo_e = si.to_local(sg(d_att))
+            bsdf_val_em, bsdf_pdf_em = B.eval_pdf(
+                sc.bsdfs, sc.static.bsdf_kinds, si.bsdf_index, si.wi, wo_e,
+                active_em, uv=si.uv, textures=sc.textures, vcolor=si.vcolor,
+                pos=si.p)
+            mis_em = jnp.where(
+                ds.delta, 1.0,
+                common.mis_weight(sg(ds.pdf), sg(bsdf_pdf_em)))
+            lr_dir = st.beta * mis_em[..., None] * bsdf_val_em * em_weight
+
+            # --- detached BSDF sampling: the state advance (bitwise the
+            #     primal bounce's arithmetic and RNG order) ---
+            si_d = jax.tree.map(sg, si)
+            sampler2, s1b = smp.next_1d(sampler2)
+            sampler2, s2b = smp.next_2d(sampler2)
+            bs, bsdf_weight, ok = B.sample(
+                jax.tree.map(sg, sc.bsdfs), sc.static.bsdf_kinds,
+                si_d.bsdf_index, si_d.wi, s1b, s2b, active_next,
+                uv=si_d.uv, textures=jax.tree.map(sg, sc.textures),
+                vcolor=si_d.vcolor, pos=si_d.p)
+            wo_world = si_d.to_world(bs.wo)
+            new_ray = si_d.spawn_ray(wo_world)
+            eta = st.eta * jnp.where(ok, bs.eta, 1.0)
+            beta = st.beta * jnp.where(ok[..., None], bsdf_weight, 0.0)
+            beta_max = jnp.max(beta, axis=-1)
+            active2 = active_next & (beta_max != 0.0)
+            rr_prob = jnp.minimum(beta_max * eta * eta, 0.95)
+            rr_active = st.depth >= rr_depth
+            beta = jnp.where(
+                rr_active[..., None],
+                beta / jnp.maximum(rr_prob, 1e-8)[..., None], beta)
+            sampler2, rr_u = smp.next_1d(sampler2)
+            active2 = active2 & (~rr_active | (rr_u < rr_prob))
+            depth = st.depth + si_d.valid.astype(st.depth.dtype)
+
+            # --- indirect re-attach (epsm.py:698-712) ---
+            L_remaining = sg(st.L - le - lr_dir)
+            wo_ind = si.to_local(wo_world)
+            bsdf_val, _ = B.eval_pdf(
+                sc.bsdfs, sc.static.bsdf_kinds, si.bsdf_index, si.wi,
+                wo_ind, active_next, uv=si.uv, textures=sc.textures,
+                vcolor=si.vcolor, pos=si.p)
+            bsdf_val_det = sg(bsdf_val)
+            inv_det = jnp.where(bsdf_val_det != 0.0, 1.0, 0.0) / jnp.where(
+                bsdf_val_det != 0.0, bsdf_val_det, 1.0)
+            lr_ind = L_remaining * I.replace_grad(
+                jnp.ones_like(bsdf_val), inv_det * bsdf_val)
+
+            st2 = P.LoopState(
+                sampler=sampler2,
+                ray_o=new_ray.o, ray_d=new_ray.d, depth=depth,
+                L=L_remaining, beta=beta, eta=eta, active=active2,
+                prev_p=sg(si.p), prev_bsdf_pdf=bs.pdf,
+                prev_bsdf_delta=B.has_flag(bs.sampled_type,
+                                           B.BSDFFlags.Delta),
+            )
+            lo = le + lr_dir + lr_ind
+            return jnp.sum(lo * dL), jax.tree.map(sg, st2)
+
+        g, st2 = jax.grad(obj, has_aux=True)(diff0)
+        grads = [(a + b) if a is not None else None
+                 for a, b in zip(grads, g)]
+        return (st2, grads), None
+
+    (st, grads), _ = jax.lax.scan(body, (st0, grads0), trace,
+                                  length=max_depth, unroll=True)
+    return grads
+
+
 def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
                  rr_depth: int, reparam_cfg=None, trace=None,
                  compact_chunks: int = 0):
@@ -300,6 +435,11 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
         return _prb_backward_compact(scene, sampler, ray, dL, L_total,
                                      max_depth, rr_depth, trace,
                                      compact_chunks)
+    if reparam_cfg is None and trace is not None:
+        # fused fast path: one grad(has_aux) per bounce instead of a
+        # detached re-bounce + grad (see _prb_backward_fused)
+        return _prb_backward_fused(scene, sampler, ray, dL, L_total,
+                                   max_depth, rr_depth, trace)
     n = ray.o.shape[0]
     diff0, rest, treedef = split_scene(scene)
     grads0 = [jnp.zeros_like(d) if d is not None else None for d in diff0]
