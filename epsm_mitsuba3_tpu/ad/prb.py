@@ -288,16 +288,23 @@ def _prb_backward_fused(scene, sampler, ray: Ray, dL, L_total,
     ``jax.grad(..., has_aux=True)``.
 
     The two-step body (detached ``P.bounce`` to advance state, then
-    ``jax.grad(_local_contrib)``) duplicates the surface interaction,
-    the NEE emitter sample/eval and the emitter-hit LE — ~60 ms of the
-    ~187 ms replay bounce at 2M lanes (results/compact_probe4.py).
-    Here the gradient objective itself computes the attached local
-    contribution (exactly ``_local_contrib``'s attachment discipline)
-    AND returns the next detached loop state as aux: the attached ops'
-    primals are bitwise the detached values (stop_gradient is identity
-    in the primal), and the RNG stream is consumed in the primal
-    bounce's exact order (NEE 2d, BSDF 1d+2d, RR 1d), so the state
-    advance matches the recording primal lane-for-lane."""
+    ``jax.grad(_local_contrib)``) TEXTUALLY duplicates the surface
+    interaction, the NEE emitter sample/eval and the emitter-hit LE —
+    ~60 ms of the ~187 ms replay bounce at 2M lanes
+    (results/compact_probe4.py).  Here the gradient objective itself
+    computes the attached local contribution (exactly
+    ``_local_contrib``'s attachment discipline) AND returns the next
+    detached loop state as aux: the attached ops' primals are bitwise
+    the detached values (stop_gradient is identity in the primal), and
+    the RNG stream is consumed in the primal bounce's exact order
+    (NEE 2d, BSDF 1d+2d, RR 1d), so the state advance matches the
+    recording primal lane-for-lane.
+
+    Measured outcome (see the dispatch site): XLA already CSEs that
+    textual duplication inside the one scan body, so this saves nothing
+    on TPU and schedules ~3% slower — default-off via
+    ``PRB_FUSED_REPLAY=1``, retained for checkpointing policies that
+    prevent primal sharing."""
     from ..ops.gather import take_rows
 
     n = ray.o.shape[0]
@@ -435,9 +442,17 @@ def prb_backward(scene, sampler, ray: Ray, dL, L_total, max_depth: int,
         return _prb_backward_compact(scene, sampler, ray, dL, L_total,
                                      max_depth, rr_depth, trace,
                                      compact_chunks)
-    if reparam_cfg is None and trace is not None:
-        # fused fast path: one grad(has_aux) per bounce instead of a
-        # detached re-bounce + grad (see _prb_backward_fused)
+    if (reparam_cfg is None and trace is not None
+            and os.environ.get("PRB_FUSED_REPLAY", "0") == "1"):
+        # fused variant: one grad(has_aux) per bounce instead of a
+        # detached re-bounce + grad.  MEASURED SLIGHTLY WORSE and kept
+        # default-off: XLA already CSEs the duplicated detached primal
+        # work between P.bounce and the grad's forward pass inside the
+        # same scan body, so the fusion saves nothing, and the has_aux
+        # data flow schedules ~3% slower end-to-end (bvh bench 9.05 vs
+        # 9.32 Mrays/s, two uncontended runs each).  Kept because it
+        # halves peak residual memory when the two copies CANNOT fuse
+        # (e.g. under jax.checkpoint policies that bar primal sharing).
         return _prb_backward_fused(scene, sampler, ray, dL, L_total,
                                    max_depth, rr_depth, trace)
     n = ray.o.shape[0]

@@ -27,8 +27,8 @@ def test_fused_replay_matches_legacy():
     L, _, trace = P.sample_primal_recorded(scene, sampler, ray, max_depth,
                                            rr_depth)
 
-    g_fused = prb.prb_backward(scene, sampler, ray, dL, L, max_depth,
-                               rr_depth, trace=trace)
+    g_fused = prb._prb_backward_fused(scene, sampler, ray, dL, L,
+                                      max_depth, rr_depth, trace)
     g_legacy = prb.prb_backward(scene, sampler, ray, dL, L, max_depth,
                                 rr_depth, trace=None)
 
