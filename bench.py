@@ -237,7 +237,7 @@ def _bench_manifold_iter(scene_dict, match_res=128, spp=8, max_depth=6,
 
 
 def _bench_bathroom_iter(spp_fwd=64, res=512, match_res=128, spp_bwd=8,
-                         bwd_res=128, max_depth=8, iters=2):
+                         bwd_res=128, max_depth=8, iters=1):
     """One reference-scale EPSM iteration (VERDICT r4 Next #6): bathroom-
     class budget — 512² ``spp_fwd``-spp depth-8 *primal* forward render
     (what ``EPSM/exp/bathroom.py:4-9`` renders per iteration), Sinkhorn
@@ -388,10 +388,12 @@ def main():
         ("toy", 240, sec_toy),
         ("bvh", 300, sec_bvh),
         ("roofline", 150, sec_roofline),
+        # manifold before bathroom: VERDICT r5 requires the manifold
+        # field in the final line; bathroom is the largest section
+        # (~540 s, mostly trace+lower of the EPSM jacrev backward) and
+        # the most tolerable loss if the driver's own timeout is tight
+        ("manifold_iter", 240, sec_manifold),
         ("bathroom_iter", 420, sec_bathroom),
-        # 128^2 toy EPSM iteration: with the compile cache warm from the
-        # preceding sections this is mostly run time (~170 s measured)
-        ("manifold_iter", 180, sec_manifold),
     ]
     only = os.environ.get("BENCH_SECTIONS")   # comma list, for dev runs
     for name, est, fn in sections:
